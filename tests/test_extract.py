@@ -1,0 +1,97 @@
+"""The deterministic HTML extractor — golden semantics unit tests."""
+
+from xs_vlm_ocr_ray.extract import extract_html, split_html
+from xs_vlm_ocr_ray.fixtures import gen_page
+
+
+def ex(html: str):
+    return extract_html(html.encode("utf-8"))
+
+
+def test_empty_payload_in_band_error():
+    r = extract_html(b"")
+    assert not r.success and r.error == "empty_payload"
+    r = extract_html(None)
+    assert not r.success and r.error == "empty_payload"
+
+
+def test_boilerplate_containers_dropped():
+    r = ex(
+        "<body><nav><a href='/'>home</a> <a href='/a'>about</a></nav>"
+        "<p>real content sentence here</p>"
+        "<footer><a href='/t'>terms</a></footer></body>"
+    )
+    assert r.full_text == "real content sentence here"
+
+
+def test_link_dense_block_dropped_outside_nav():
+    r = ex(
+        "<div><a href='/1'>one</a> <a href='/2'>two</a> <a href='/3'>three</a></div>"
+        "<p>kept paragraph of text</p>"
+    )
+    assert r.full_text == "kept paragraph of text"
+
+
+def test_inline_link_in_paragraph_kept():
+    r = ex("<p>A long enough sentence with an <a href='/x'>inline link</a> inside.</p>")
+    assert r.full_text == "A long enough sentence with an inline link inside."
+
+
+def test_table_cells_in_reading_order():
+    r = ex(
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a1</td><td>a2</td></tr></table>"
+    )
+    assert r.full_text == "h1\nh2\na1\na2"
+
+
+def test_script_style_head_suppressed():
+    r = ex(
+        "<head><title>T</title><style>p{}</style></head>"
+        "<body><script>var a='<p>no</p>';</script><p>yes</p></body>"
+    )
+    assert r.full_text == "yes"
+
+
+def test_entities_and_whitespace_collapse():
+    r = ex("<p>a&amp;b   c\n\nd&nbsp;e</p>")
+    assert r.full_text == "a&b c d e"
+
+
+def test_comments_ignored():
+    r = ex("<p>keep</p><!-- <p>gone</p> -->")
+    assert r.full_text == "keep"
+
+
+def test_determinism_same_bytes():
+    p = gen_page(7)
+    a = extract_html(p["html"])
+    b = extract_html(p["html"])
+    assert a.full_text == b.full_text
+    assert a.span_texts == b.span_texts
+    assert a.full_text.encode("utf-8") == b.full_text.encode("utf-8")
+
+
+def test_split_extraction_equals_whole():
+    # giant scenario rows: i % 100 in {96, 98} (fixtures.scenario_for)
+    for i in (96, 98, 196):
+        payload = gen_page(i)["html"]
+        whole = extract_html(payload)
+        segs = split_html(payload, 32_000)
+        assert len(segs) > 1, "giant doc should split"
+        assert b"".join(segs) == payload
+        joined = []
+        for s in segs:
+            joined.extend(extract_html(s).span_texts)
+        assert joined == whole.span_texts
+
+
+def test_split_small_doc_noop():
+    payload = b"<p>tiny</p>"
+    assert split_html(payload, 1 << 20) == [payload]
+
+
+def test_invalid_utf8_replaced_not_raised():
+    r = extract_html(b"<p>ok \xff\xfe</p>")
+    assert r.success
+    assert "ok" in r.full_text

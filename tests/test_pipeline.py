@@ -1,0 +1,137 @@
+"""End-to-end flagship pipeline: byte-identity vs goldens, lineage,
+resume semantics (BASELINE.json correctness gate)."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "pages_tiny_golden_seed42.parquet")
+
+
+@pytest.fixture(scope="module")
+def extract_out(ray_session, tiny_pages_dir, tmp_path_factory):
+    from xs_vlm_ocr_ray.pipelines.extract import run_extract
+
+    out = str(tmp_path_factory.mktemp("extract_out"))
+    summary = run_extract(tiny_pages_dir, out, concurrency=2, batch_size=64)
+    return out, summary
+
+
+def _results_df(out_dir):
+    import pandas as pd
+
+    wave_dirs = [
+        d
+        for d in glob.glob(os.path.join(out_dir, "results", "*"))
+        if os.path.isdir(d) and not os.path.basename(d).startswith(".")
+    ]
+    # reading the directory restores the hive-partitioned shard_id column
+    frames = [pq.read_table(d).to_pandas() for d in wave_dirs]
+    df = pd.concat(frames, ignore_index=True)
+    return df
+
+
+def test_rows_and_errors(extract_out):
+    out, summary = extract_out
+    assert summary["rows"] == 200
+    # fixtures plant truly-empty payloads in the `empty` scenario
+    assert summary["n_error"] >= 1
+    assert summary["n_success"] + summary["n_error"] == 200
+
+
+def test_byte_identity_vs_golden(extract_out):
+    out, _ = extract_out
+    df = _results_df(out).set_index("url")
+    golden = pq.read_table(GOLDEN).to_pandas().set_index("url")
+    assert set(df.index) == set(golden.index)
+    for url, g in golden.iterrows():
+        row = df.loc[url]
+        assert row["success"] == g["success"], url
+        assert row["error"] == g["error"], url
+        assert row["extracted_text"].encode("utf-8") == g["extracted_text"].encode(
+            "utf-8"
+        ), f"byte mismatch for {url}"
+        assert row["content_hash"] == g["content_hash"], url
+
+
+def test_spans_reassemble_to_text(extract_out):
+    out, _ = extract_out
+    from xs_vlm_ocr_ray.functions.textnorm import assemble_text, qt_trim
+
+    df = _results_df(out)
+    ok = df[df["success"]]
+    assert len(ok) > 0
+    for _, row in ok.head(50).iterrows():
+        spans = [(s["text"], s["x0"], s["y0"]) for s in row["spans"]]
+        assert qt_trim(assemble_text(spans)) == row["extracted_text"]
+
+
+def test_lineage_columns(extract_out):
+    out, _ = extract_out
+    df = _results_df(out)
+    # hive partition column comes back as str/categorical — normalize
+    df["shard_id"] = df["shard_id"].astype(int)
+    assert set(df["shard_id"].unique()) == {0, 1, 2, 3}
+    for sid, g in df.groupby("shard_id"):
+        assert sorted(g["row_idx"]) == list(range(50))
+
+
+def test_manifest_records(extract_out):
+    out, _ = extract_out
+    from xs_vlm_ocr_ray.state.manifest import load_manifest, xor_hex_digests
+
+    man = load_manifest(out)
+    assert sorted(man) == [0, 1, 2, 3]
+    df = _results_df(out)
+    df["shard_id"] = df["shard_id"].astype(int)
+    for sid, rec in man.items():
+        g = df[df["shard_id"] == sid]
+        assert rec["n_rows"] == len(g) == 50
+        assert rec["n_success"] == int(g["success"].sum())
+        assert rec["hash_xor"] == xor_hex_digests(g["content_hash"])
+        assert rec["row_min"] == 0 and rec["row_max"] == 49
+
+
+def test_resume_skips_completed(extract_out, tiny_pages_dir):
+    out, _ = extract_out
+    from xs_vlm_ocr_ray.pipelines.extract import run_extract
+
+    again = run_extract(tiny_pages_dir, out, concurrency=2, batch_size=64)
+    assert again["waves"] == 0  # nothing pending
+    assert again["rows"] == 200  # manifest still accounts for everything
+
+
+def test_kill_and_resume(ray_session, tiny_pages_dir, tmp_path_factory):
+    """Crash simulation: stop after the first of two waves, resume, and
+    verify the resumed run reprocesses only the missing shards and the
+    combined output is complete and duplicate-free."""
+    from xs_vlm_ocr_ray.pipelines.extract import read_results, run_extract
+    from xs_vlm_ocr_ray.state.manifest import load_manifest
+
+    out = str(tmp_path_factory.mktemp("resume_out"))
+    first = run_extract(
+        tiny_pages_dir, out, concurrency=2, batch_size=64, wave_shards=2, max_waves=1
+    )
+    assert first["waves"] == 1
+    assert sorted(load_manifest(out)) == [0, 1]
+
+    second = run_extract(tiny_pages_dir, out, concurrency=2, batch_size=64, wave_shards=2)
+    assert second["waves"] == 1  # only the pending half ran
+    assert sorted(load_manifest(out)) == [0, 1, 2, 3]
+    assert second["rows"] == 200
+
+    df = read_results(out, columns=["url", "shard_id", "row_idx"]).to_pandas()
+    assert len(df) == 200
+    assert df["url"].nunique() == 200
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    import pandas as pd
+
+    assert res is not None

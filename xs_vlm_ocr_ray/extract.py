@@ -1,0 +1,248 @@
+"""Deterministic HTML main-content extractor (boilerplate strip).
+
+This is the engine's "local engine" — the Ray-native analog of the
+reference's Tesseract path (src/adapters/TesseractAdapter.cpp:154-246):
+a deterministic, no-model extractor that turns one document payload into
+ordered text spans plus an assembled full text. Block classification is
+text-density / link-density based (boilerpipe/trafilatura-style, per
+BASELINE.json north_star), implemented as a single linear scan over the
+tag stream — no backtracking, no recursion, O(bytes).
+
+Invariant: ``extract_html`` is the single source of truth for extracted
+text. The golden fixtures are produced by THIS function run serially;
+the Ray pipeline runs THIS function inside an actor pool. Byte-identity
+(BASELINE.json gate) therefore reduces to determinism of this module,
+which the tests assert (same input → same bytes across processes, and
+split-extraction == whole-extraction).
+
+Error model: in-band, never raised (reference semantics — errors flow
+through the record, src/adapters/QwenAdapter.cpp:538-545).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass, field
+
+from .functions.textnorm import merge_full_text, qt_trim
+
+# Tags that delimit text blocks (flushing the current block).
+_BLOCK_TAGS = frozenset(
+    """p div section article main h1 h2 h3 h4 h5 h6 li ul ol dl dt dd
+    table thead tbody tfoot tr td th caption blockquote pre br hr figure
+    figcaption form fieldset address body html nav header footer aside
+    details summary""".split()
+)
+# Container tags whose entire subtree is boilerplate chrome.
+_BOILER_TAGS = frozenset("nav header footer aside".split())
+# Tags whose raw content is never document text.
+_SUPPRESS_TAGS = frozenset(
+    "script style head title noscript template svg iframe".split()
+)
+
+_TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<[^>]*>|[^<]+", re.S)
+_TAGNAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_WS_RE = re.compile(r"\s+")
+# Fast path: the handful of entities the synthetic corpus uses; anything
+# else falls back to html.unescape (both deterministic).
+_COMMON_ENT = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+}
+_COMMON_ENT_RE = re.compile("|".join(_COMMON_ENT))
+
+
+def _unescape(text: str) -> str:
+    if "&" not in text:
+        return text
+    text = _COMMON_ENT_RE.sub(lambda m: _COMMON_ENT[m.group(0)], text)
+    if "&" in text and ("&#" in text or ";" in text):
+        text = _htmlmod.unescape(text)
+    return text
+
+
+def _norm(text: str) -> str:
+    """Entity-unescape then collapse all whitespace runs to one space."""
+    return _WS_RE.sub(" ", _unescape(text)).strip()
+
+
+# Classification thresholds (fixed — part of the golden contract).
+LINK_DENSITY_MAX = 1 / 3
+LONG_BLOCK_CHARS = 200
+LONG_BLOCK_LINK_DENSITY_MAX = 2 / 3
+
+
+def _keep_block(total_chars: int, link_chars: int) -> bool:
+    if total_chars == 0:
+        return False
+    if link_chars * 3 <= total_chars:
+        return True
+    return total_chars >= LONG_BLOCK_CHARS and link_chars * 3 <= 2 * total_chars
+
+
+@dataclass
+class ExtractResult:
+    success: bool
+    error: str
+    span_texts: list[str] = field(default_factory=list)
+
+    @property
+    def full_text(self) -> str:
+        # Final whole-text trim mirrors the reference's unconditional
+        # trimmed() on the assembled text (TesseractAdapter.cpp:221).
+        return qt_trim(merge_full_text(self.span_texts))
+
+
+def extract_html(payload: bytes | None) -> ExtractResult:
+    """One document → ordered content-span texts, errors in-band."""
+    if payload is None or len(payload) == 0:
+        return ExtractResult(False, "empty_payload")
+    try:
+        doc = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        try:
+            doc = payload.decode("utf-8", errors="replace")
+        except Exception:  # pragma: no cover - replace cannot fail
+            return ExtractResult(False, "decode_error")
+    return ExtractResult(True, "", _scan(doc))
+
+
+def _scan(doc: str) -> list[str]:
+    """Single-pass tag-stream scan → kept block texts in document order."""
+    spans: list[str] = []
+    buf: list[str] = []          # text pieces of the current block
+    linkbuf: list[str] = []      # pieces contributed inside <a>
+    boiler_depth = 0
+    a_depth = 0
+    suppress: str | None = None  # tag name whose close ends suppression
+
+    def flush() -> None:
+        if not buf:
+            return
+        text = _norm("".join(buf))
+        link = _norm("".join(linkbuf))
+        buf.clear()
+        linkbuf.clear()
+        if boiler_depth == 0 and _keep_block(len(text), len(link)):
+            spans.append(text)
+
+    for m in _TOKEN_RE.finditer(doc):
+        tok = m.group(0)
+        c0 = tok[0]
+        if c0 != "<":
+            if suppress is None and tok and not tok.isspace():
+                buf.append(tok)
+                if a_depth > 0:
+                    linkbuf.append(tok)
+            continue
+        if tok.startswith("<!--"):
+            continue
+        nm = _TAGNAME_RE.match(tok)
+        if nm is None:
+            continue  # doctype, malformed
+        name = nm.group(1).lower()
+        closing = tok.startswith("</")
+        if suppress is not None:
+            if closing and name == suppress:
+                suppress = None
+            continue
+        if name in _SUPPRESS_TAGS:
+            if not closing and not tok.endswith("/>"):
+                suppress = name
+            continue
+        if name in _BLOCK_TAGS:
+            flush()
+            if name in _BOILER_TAGS:
+                if closing:
+                    if boiler_depth > 0:
+                        boiler_depth -= 1
+                else:
+                    boiler_depth += 1
+        elif name == "a":
+            if closing:
+                if a_depth > 0:
+                    a_depth -= 1
+            else:
+                a_depth += 1
+        # other inline tags: transparent
+    flush()
+    return spans
+
+
+def split_html(payload: bytes, max_bytes: int) -> list[bytes]:
+    """Split a giant document into segments at neutral block boundaries
+    such that ``concat(extract(seg).span_texts) == extract(whole).span_texts``.
+
+    A cut point is the start of a block-boundary tag seen at
+    boiler_depth == 0, a_depth == 0, outside suppression, with no pending
+    block text — i.e. scanner state is the initial state, so extracting
+    each segment independently is exact. This is the skew path for giant
+    DOMs (SURVEY.md §4.2 / north_rule): segments become separate rows,
+    are extracted by whatever actor gets them, and are reassembled with a
+    ``groupby(url)`` ordered join.
+
+    Falls back to ``[payload]`` when the document is small or has no
+    usable cut points (worst case: one oversized row — handled by block
+    size caps, never by dropping data).
+    """
+    if len(payload) <= max_bytes:
+        return [payload]
+    try:
+        doc = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return [payload]
+
+    cuts: list[int] = []
+    boiler_depth = 0
+    a_depth = 0
+    suppress: str | None = None
+    has_text = False
+    last_cut = 0
+    for m in _TOKEN_RE.finditer(doc):
+        tok = m.group(0)
+        if tok[0] != "<":
+            if suppress is None and not tok.isspace():
+                has_text = True
+            continue
+        if tok.startswith("<!--"):
+            continue
+        nm = _TAGNAME_RE.match(tok)
+        if nm is None:
+            continue
+        name = nm.group(1).lower()
+        closing = tok.startswith("</")
+        if suppress is not None:
+            if closing and name == suppress:
+                suppress = None
+            continue
+        if (
+            name in _BLOCK_TAGS
+            and not has_text
+            and boiler_depth == 0
+            and a_depth == 0
+            and m.start() - last_cut >= max_bytes
+            and m.start() > 0
+        ):
+            # cut BEFORE this tag; byte offset = utf-8 length of prefix
+            cuts.append(m.start())
+            last_cut = m.start()
+        if name in _SUPPRESS_TAGS:
+            if not closing and not tok.endswith("/>"):
+                suppress = name
+            continue
+        if name in _BLOCK_TAGS:
+            has_text = False
+            if name in _BOILER_TAGS:
+                boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+        elif name == "a":
+            a_depth = max(0, a_depth - 1) if closing else a_depth + 1
+    if not cuts:
+        return [payload]
+    segs: list[bytes] = []
+    prev = 0
+    for c in cuts:
+        segs.append(doc[prev:c].encode("utf-8"))
+        prev = c
+    segs.append(doc[prev:].encode("utf-8"))
+    return [s for s in segs if s]

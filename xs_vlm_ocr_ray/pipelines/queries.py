@@ -1,0 +1,752 @@
+"""Query surface: every SURVEY.md §2 operator exposed as a Ray Data
+pipeline over the driver's parquet tables, each with a DuckDB oracle
+(oracle strings live in ``ORACLE_SQL``; the driver cross-checks at
+sf0.01 — row count + schema + order-insensitive value hash).
+
+Conventions:
+- computed/aggregate column names match the oracle SQL exactly;
+- float aggregates are rounded identically on both sides;
+- every groupby is fed by a within-batch partial reduce (scale rule:
+  one row per key per batch crosses the shuffle);
+- small dimension tables are broadcast (driver-side read, closure
+  capture), never shuffled (SURVEY.md J1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+def _round2(x):
+    return pc.round(x, ndigits=2)
+
+
+# --------------------------------------------------------------------------
+# Q1-style grouped aggregate (reference A1-A3 generalized; TPC-H Q1 shape)
+
+
+def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """Pricing summary: filter → per-batch partial agg → tiny groupby.
+
+    Ray-native pre-aggregation: each batch emits one row per
+    (returnflag, linestatus) — the shuffle moves O(groups × batches)
+    rows, not 600k.
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.float64()),
+                    "sum_base_price": pa.array([], pa.float64()),
+                    "sum_disc_price": pa.array([], pa.float64()),
+                    "sum_charge": pa.array([], pa.float64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = t.append_column("disc_price", disc_price).append_column("charge", charge)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("charge", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        # pyarrow group_by emits keys FIRST, then aggregates in order
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity_sum",
+                "l_extendedprice_sum",
+                "disc_price_sum",
+                "charge_sum",
+                "count",
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("charge_sum", alias_name="sum_charge"),
+        Sum("count", alias_name="count_order"),
+    )
+    df = agg.to_pandas()
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(2)
+    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(2)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        df[c] = df[c].round(2)
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       COUNT(*)                                                         AS count_order,
+       ROUND(SUM(l_quantity) / COUNT(*), 2)                             AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 2)                        AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Broadcast join (reference J1: model × provider small-dim join)
+
+
+def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
+    """customer ⋈ nation ⋈ region via driver-broadcast dimension maps —
+    the J1 pattern: small side is read once and captured, never
+    shuffled."""
+    nation = pq.read_table(_p(sf_dir, "nation")).to_pylist()
+    region = {r["r_regionkey"]: r["r_name"] for r in pq.read_table(_p(sf_dir, "region")).to_pylist()}
+    nmap = {n["n_nationkey"]: (n["n_name"], region[n["n_regionkey"]]) for n in nation}
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = [nmap[int(k)] for k in keys]
+        t2 = pa.table(
+            {
+                "n_name": pa.array([x[0] for x in names], pa.string()),
+                "r_name": pa.array([x[1] for x in names], pa.string()),
+                "c_acctbal": t["c_acctbal"],
+            }
+        )
+        g = t2.group_by(["r_name", "n_name"]).aggregate(
+            [("c_acctbal", "sum"), ("c_acctbal", "count")]
+        )
+        return g.rename_columns(["r_name", "n_name", "acctbal_sum", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["r_name", "n_name"]).aggregate(
+        Sum("acctbal_sum", alias_name="total_acctbal"),
+        Sum("n", alias_name="n_customers"),
+    )
+    df = agg.to_pandas()
+    df["total_acctbal"] = df["total_acctbal"].round(2)
+    return df.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+_BROADCAST_JOIN_SQL = """
+SELECT r_name, n_name,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal,
+       COUNT(*)                 AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_orders_join(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer grouped by market segment (broadcast side =
+    customer key→segment map)."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cmap = dict(
+        zip(
+            cust["c_custkey"].to_numpy(zero_copy_only=False),
+            cust["c_mktsegment"].to_pylist(),
+        )
+    )
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = [cmap[int(k)] for k in t["o_custkey"].to_numpy(zero_copy_only=False)]
+        t2 = pa.table({"c_mktsegment": pa.array(seg, pa.string()), "o_totalprice": t["o_totalprice"]})
+        g = t2.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "price_sum", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("price_sum", alias_name="total_price"), Sum("n", alias_name="n_orders")
+    )
+    df = agg.to_pandas()
+    df["total_price"] = df["total_price"].round(2)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+_ORDERS_JOIN_SQL = """
+SELECT c_mktsegment,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       COUNT(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# History-style queries over `events` (reference O1/O2/O3/A1/J4,
+# HistoryManager.cpp:117-229, 330-363, 466-508)
+
+_TS_LO = pd.Timestamp("2024-01-10")
+_TS_HI = pd.Timestamp("2024-01-20")
+
+
+def q_filtered_count(sf_dir: str) -> pa.Table:
+    """A1: dynamic-predicate COUNT (time range + type)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    lo = pa.scalar(_TS_LO, pa.timestamp("us"))
+    hi = pa.scalar(_TS_HI, pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi)),
+            pc.equal(t["event_type"], "click"),
+        )
+        return pa.table({"n": pa.array([pc.sum(pc.cast(m, pa.int64())).as_py() or 0], pa.int64())})
+
+    total = ds.map_batches(fn, batch_format="pyarrow").to_pandas()["n"].sum()
+    return pa.table({"n": pa.array([int(total)], pa.int64())})
+
+
+_FILTERED_COUNT_SQL = """
+SELECT COUNT(*) AS n FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+  AND event_type = 'click'
+"""
+
+
+def q_history_page(sf_dir: str) -> pd.DataFrame:
+    """O1: filtered scan + keyword LIKE + total-order sort desc + LIMIT."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    lo = pa.scalar(_TS_LO, pa.timestamp("us"))
+    hi = pa.scalar(_TS_HI, pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi)),
+            pc.match_substring(t["props"], '"k": 7'),
+        )
+        return t.filter(m)
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .sort(["ts", "event_id"], descending=[True, True])
+        .limit(20)
+        .to_pandas()
+    )
+    return out
+
+
+_HISTORY_PAGE_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+  AND props LIKE '%"k": 7%'
+ORDER BY ts DESC, event_id DESC LIMIT 20
+"""
+
+
+def q_history_page2(sf_dir: str) -> pd.DataFrame:
+    """O1 pagination: page 2 (OFFSET 20 LIMIT 20) via limit(40) + slice —
+    offset on a total order (HistoryManager.cpp:153-229)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    lo = pa.scalar(_TS_LO, pa.timestamp("us"))
+    hi = pa.scalar(_TS_HI, pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi)),
+            pc.match_substring(t["props"], '"k": 7'),
+        )
+        return t.filter(m)
+
+    head = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .sort(["ts", "event_id"], descending=[True, True])
+        .limit(40)
+        .to_pandas()
+    )
+    return head.iloc[20:40].reset_index(drop=True)
+
+
+_HISTORY_PAGE2_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+  AND props LIKE '%"k": 7%'
+ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 20
+"""
+
+
+def q_top1_per_key(sf_dir: str) -> pd.DataFrame:
+    """O2: most recent row per key (reference: latest successful row per
+    content_hash). Partial per-batch reduce → groupby final reduce."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.groupby("user_id", as_index=False).tail(1)
+
+    partials = ds.map_batches(reduce_df, batch_format="pandas")
+    final = partials.groupby("user_id").map_groups(reduce_df, batch_format="pandas")
+    df = final.to_pandas().rename(
+        columns={"ts": "last_ts", "event_id": "last_event_id", "value": "last_value"}
+    )
+    return (
+        df[["user_id", "last_ts", "last_event_id", "last_value"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+_TOP1_SQL = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id, value AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_retention_topn(sf_dir: str) -> pd.DataFrame:
+    """O3: keep newest N rows (HistoryManager.cpp:330-363), N=50."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    return (
+        ds.sort(["ts", "event_id"], descending=[True, True]).limit(50).to_pandas()
+    )
+
+
+_RETENTION_SQL = """
+SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 50
+"""
+
+
+def q_point_lookup(sf_dir: str) -> pd.DataFrame:
+    """J4: point lookup WHERE id = k (HistoryManager.cpp:231-273)."""
+    ds = _read(sf_dir, "events")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_id"], 5000))
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+_POINT_LOOKUP_SQL = "SELECT * FROM events WHERE event_id = 5000"
+
+
+# --------------------------------------------------------------------------
+# Documents: scans, counts, previews, char metrics (A1/A2/M20)
+
+
+def q_doc_keyword_count(sf_dir: str) -> pd.DataFrame:
+    """A1 over documents: keyword LIKE filter + count by lang."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["text"], "spark"))
+        g = t.group_by("lang").aggregate([("text", "count")])
+        return g.rename_columns(["lang", "n_part"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    df = partials.groupby("lang").aggregate(Sum("n_part", alias_name="n")).to_pandas()
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+_DOC_KEYWORD_SQL = """
+SELECT lang, COUNT(*) AS n FROM documents WHERE text LIKE '%spark%'
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_char_metric(sf_dir: str) -> pd.DataFrame:
+    """A2: char-count metric aggregated by lang."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"lang": t["lang"], "chars": pc.utf8_length(t["text"])})
+        g = t2.group_by("lang").aggregate([("chars", "sum"), ("chars", "count")])
+        return g.rename_columns(["lang", "chars_sum", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    df = (
+        partials.groupby("lang")
+        .aggregate(Sum("chars_sum", alias_name="total_chars"), Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+_CHAR_METRIC_SQL = """
+SELECT lang, SUM(LENGTH(text)) AS total_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_doc_preview(sf_dir: str) -> pd.DataFrame:
+    """M20 preview projection, vectorized with Arrow kernels."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        head = pc.utf8_slice_codeunits(text, 0, 50)
+        head = pc.replace_substring(head, "\n", " ")
+        long_mask = pc.greater(pc.utf8_length(text), 50)
+        empty_mask = pc.equal(pc.utf8_length(text), 0)
+        with_ellipsis = pc.binary_join_element_wise(
+            head, pa.array(["..."] * len(t)), ""
+        )
+        out = pc.if_else(long_mask, with_ellipsis, head)
+        out = pc.if_else(empty_mask, pa.scalar("[无文字]"), out)
+        return pa.table({"doc_id": t["doc_id"], "preview": out})
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+_DOC_PREVIEW_SQL = """
+SELECT doc_id,
+       CASE WHEN LENGTH(text) = 0 THEN '[无文字]'
+            WHEN LENGTH(text) > 50 THEN REPLACE(SUBSTR(text, 1, 50), CHR(10), ' ') || '...'
+            ELSE REPLACE(SUBSTR(text, 1, 50), CHR(10), ' ') END AS preview
+FROM documents
+"""
+
+
+def q_doc_token_count(sf_dir: str) -> pd.DataFrame:
+    """Token counting (whitespace tokenizer) per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        counts = [len(x.split()) if x else 0 for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+_DOC_TOKEN_SQL = """
+SELECT doc_id,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_charstats(sf_dir: str) -> pd.DataFrame:
+    """Quality-scoring raw stats: chars, spaces, mean word length."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t["text"])
+        n_spaces = pc.count_substring(t["text"], " ")
+        # integer stats only: a mean ratio would need cross-engine
+        # float rounding agreement (half-even vs half-away) — the
+        # consumer divides
+        n_word_chars = [
+            sum(len(w) for w in x.split()) if x else 0 for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_text": pc.cast(n_chars, pa.int64()),
+                "n_spaces": pc.cast(n_spaces, pa.int64()),
+                "n_word_chars": pa.array(n_word_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+_DOC_CHARSTATS_SQL = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_text,
+       LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+       LENGTH(REPLACE(REGEXP_REPLACE(text, '\\s+', ' ', 'g'), ' ', '')) AS n_word_chars
+FROM documents
+"""
+
+
+def q_unique_langs(sf_dir: str) -> pd.DataFrame:
+    """Distinct values (ds.unique analog of SELECT DISTINCT)."""
+    ds = _read(sf_dir, "documents", ["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+_UNIQUE_LANGS_SQL = "SELECT DISTINCT lang FROM documents ORDER BY lang"
+
+
+# --------------------------------------------------------------------------
+# Dedup family (D1 exact + training-data near-dup additions)
+
+
+def q_doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """D1: exact dedup group stats keyed on canonical text hash."""
+    from ..stages.dedup import add_text_hash, dedup_exact_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = add_text_hash(ds, "text")
+    out = dedup_exact_stats(ds.select_columns(["doc_id", "content_hash"]))
+    df = out.to_pandas().rename(columns={"keeper": "keeper_doc_id"})
+    return df.sort_values("content_hash").reset_index(drop=True)
+
+
+_DOC_DEDUP_SQL = """
+SELECT MD5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY MD5(text) ORDER BY content_hash
+"""
+
+
+def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified. Not SQL-expressible
+    (rows-only check)."""
+    from ..stages.dedup import (
+        MinHasher,
+        lsh_band_rows,
+        lsh_candidate_pairs,
+        verify_pairs_jaccard,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = docs.map_batches(
+        MinHasher, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=2
+    )
+    bands = lsh_band_rows(sigs)
+    pairs = lsh_candidate_pairs(bands)
+    verified = verify_pairs_jaccard(docs, pairs, threshold=0.5)
+    return verified.sort_values(["a", "b"]).reset_index(drop=True) if len(verified) else verified
+
+
+def q_doc_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash fingerprints (rows-only check)."""
+    from ..stages.dedup import SimHasher
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(
+        SimHasher, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=2
+    )
+    return out.to_pandas()
+
+
+def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprints (rows-only check)."""
+    from ..functions.textstats import rolling_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [rolling_fingerprint(x or "") for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.uint64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+def q_doc_langid(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language ID + agreement with the labeled lang column
+    (rows-only check)."""
+    from ..functions.textstats import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        pred = [lang_id(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lang_pred": pa.array(pred, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Composite quality score per document (rows-only check)."""
+    from ..functions.textstats import quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        qs = [quality_score(x or "") for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "quality": pa.array(qs, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"].to_pylist()[idx], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    from ..stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, _query_vec(sf_dir), k=10)
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS sim
+FROM embeddings, q
+ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
+    from ..stages.ann import lsh_bucket_ids, lsh_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    with_buckets = lsh_bucket_ids(ds)
+    return lsh_topk(with_buckets, _query_vec(sf_dir), k=10)
+
+
+# --------------------------------------------------------------------------
+# Flagship extraction over synthesized pages (rows-only; the real gate is
+# pytest byte-identity — tests/test_pipeline.py)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def pages_dir_for(sf_dir: str, seed: int = 42) -> str:
+    """Deterministic pages corpus cached under /tmp, sized by sf."""
+    from ..fixtures import sf_to_n_rows, write_pages_dataset
+
+    sf = _sf_from_dir(sf_dir)
+    n = sf_to_n_rows(sf)
+    d = f"/tmp/xs_pages_cache/seed{seed}_n{n}_v2"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        write_pages_dataset(d, n, seed=seed)
+        with open(marker, "w") as f:
+            f.write(str(n))
+    return d
+
+
+def extract_pages(sf_dir: str) -> pd.DataFrame:
+    """Flagship pipeline on the synthesized pages corpus; returns
+    (url, extracted_text, success, error, content_hash)."""
+    from .extract import build_extract_ds
+
+    pdir = pages_dir_for(sf_dir)
+    ds = build_extract_ds(pdir, engine_kwargs={"emit_spans": False})
+    df = ds.to_pandas()
+    return (
+        df[["url", "extracted_text", "success", "error", "content_hash"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# registries
+
+QUERIES = {
+    "q1_lineitem_agg": q1_lineitem_agg,
+    "q_broadcast_join": q_broadcast_join,
+    "q_orders_join": q_orders_join,
+    "q_filtered_count": q_filtered_count,
+    "q_history_page": q_history_page,
+    "q_history_page2": q_history_page2,
+    "q_top1_per_key": q_top1_per_key,
+    "q_retention_topn": q_retention_topn,
+    "q_point_lookup": q_point_lookup,
+    "q_doc_keyword_count": q_doc_keyword_count,
+    "q_char_metric": q_char_metric,
+    "q_doc_preview": q_doc_preview,
+    "q_doc_token_count": q_doc_token_count,
+    "q_doc_charstats": q_doc_charstats,
+    "q_unique_langs": q_unique_langs,
+    "q_doc_exact_dedup": q_doc_exact_dedup,
+    "q_doc_minhash_neardup": q_doc_minhash_neardup,
+    "q_doc_simhash": q_doc_simhash,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_langid": q_doc_langid,
+    "q_doc_quality": q_doc_quality,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_lsh_topk": q_ann_lsh_topk,
+    "extract_pages": extract_pages,
+}
+
+ORACLE_SQL = {
+    "q1_lineitem_agg": _Q1_SQL,
+    "q_broadcast_join": _BROADCAST_JOIN_SQL,
+    "q_orders_join": _ORDERS_JOIN_SQL,
+    "q_filtered_count": _FILTERED_COUNT_SQL,
+    "q_history_page": _HISTORY_PAGE_SQL,
+    "q_history_page2": _HISTORY_PAGE2_SQL,
+    "q_top1_per_key": _TOP1_SQL,
+    "q_retention_topn": _RETENTION_SQL,
+    "q_point_lookup": _POINT_LOOKUP_SQL,
+    "q_doc_keyword_count": _DOC_KEYWORD_SQL,
+    "q_char_metric": _CHAR_METRIC_SQL,
+    "q_doc_preview": _DOC_PREVIEW_SQL,
+    "q_doc_token_count": _DOC_TOKEN_SQL,
+    "q_doc_charstats": _DOC_CHARSTATS_SQL,
+    "q_unique_langs": _UNIQUE_LANGS_SQL,
+    "q_doc_exact_dedup": _DOC_DEDUP_SQL,
+    "q_ann_topk": _ANN_TOPK_SQL,
+    # q_doc_minhash_neardup / q_doc_simhash / q_doc_fingerprint /
+    # q_doc_langid / q_doc_quality / q_ann_lsh_topk / extract_pages:
+    # not SQL-expressible → rows-only driver check.
+}

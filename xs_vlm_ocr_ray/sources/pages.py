@@ -1,0 +1,138 @@
+"""Pages source: lineage-preserving parquet reader.
+
+``read_pages`` is a thin custom source built from
+``from_items(row-group work items) → map_batches(reader)`` instead of
+plain ``read_parquet``. Rationale (SURVEY.md §4.2, north_rule):
+
+- exact per-row lineage: every row gets ``shard_id`` (index of its file
+  in the sorted shard list) and ``row_idx`` (row offset within the
+  file) — the engine's replacement for the reference's ``contextId``
+  correlation key (src/ui/MainWindow.cpp:1442, 1972-1983);
+- resumability: a resume run passes ``skip_shards`` (completed shard ids
+  from the lineage manifest) and those files are never opened;
+- streaming: the reader task *yields* slices of each row group so
+  multi-hundred-MB shards never materialize as one block (dynamic block
+  sizing stays in the hands of the streaming executor).
+
+One reader task per parquet row group; generate input shards so that
+``#row_groups ≥ 2 × cluster CPUs`` for full read parallelism.
+
+For non-lineage scans (the query surface) use ``read_pages_simple``,
+which is plain ``ray.data.read_parquet`` with column pruning.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+
+def list_shards(path: str) -> list[str]:
+    """Sorted parquet shard files under ``path`` (or [path] for a file).
+
+    Sorted order defines ``shard_id`` — stable across runs.
+    """
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def shard_work_items(
+    paths: list[str], skip_shards: frozenset[int] | set[int] = frozenset()
+) -> list[dict]:
+    """One work item per (shard, row_group) with its absolute row offset."""
+    items: list[dict] = []
+    for shard_id, p in enumerate(paths):
+        if shard_id in skip_shards:
+            continue
+        md = pq.read_metadata(p)
+        row_start = 0
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            items.append(
+                {
+                    "path": p,
+                    "shard_id": shard_id,
+                    "row_group": rg,
+                    "row_start": row_start,
+                    "num_rows": n,
+                }
+            )
+            row_start += n
+    return items
+
+
+class _RowGroupReader:
+    """Stateless reader kernel: one work-item batch in → row slices out."""
+
+    def __init__(self, columns: list[str] | None, slice_rows: int):
+        self.columns = columns
+        self.slice_rows = slice_rows
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        for item in batch.to_pylist():
+            f = pq.ParquetFile(item["path"])
+            t = f.read_row_group(item["row_group"], columns=self.columns)
+            n = t.num_rows
+            base = item["row_start"]
+            shard = item["shard_id"]
+            for off in range(0, n, self.slice_rows):
+                chunk = t.slice(off, self.slice_rows)
+                m = chunk.num_rows
+                chunk = chunk.append_column(
+                    "shard_id", pa.array([shard] * m, pa.int32())
+                )
+                chunk = chunk.append_column(
+                    "row_idx",
+                    pa.array(range(base + off, base + off + m), pa.int64()),
+                )
+                yield chunk
+
+
+def read_pages(
+    sf_dir_or_paths: str | list[str],
+    columns: list[str] | None = None,
+    skip_shards: frozenset[int] | set[int] = frozenset(),
+    slice_rows: int = 2048,
+) -> rd.Dataset:
+    """Lineage-preserving read of a pages parquet directory."""
+    paths = (
+        list_shards(sf_dir_or_paths)
+        if isinstance(sf_dir_or_paths, str)
+        else list(sf_dir_or_paths)
+    )
+    items = shard_work_items(paths, skip_shards)
+    if not items:
+        # empty typed dataset with lineage columns
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "shard_id": pa.array([], pa.int32()),
+                "row_idx": pa.array([], pa.int64()),
+            }
+        )
+        return rd.from_arrow(empty)
+    ds = rd.from_items(items, override_num_blocks=len(items))
+    return ds.map_batches(
+        _RowGroupReader(columns, slice_rows),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+
+
+def read_pages_simple(
+    sf_dir: str, columns: list[str] | None = None, **kwargs
+) -> rd.Dataset:
+    """Plain parallel read with column pruning (no lineage columns)."""
+    paths = list_shards(sf_dir)
+    return rd.read_parquet(paths, columns=columns, **kwargs)

@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put`` / closure capture), each batch computes a float64 matmul
+against it and emits only its per-batch top-k partials; the final reduce
+merges ``num_batches × k`` rows driver-side. No shuffle, no full
+materialization.
+
+Scale path: LSH hyperplane bucketing — vectors are pre-assigned to
+``sign(P·v)`` buckets by a seeded projection matrix; a query probes only
+its own (and optionally neighboring) buckets, turning the scan into a
+``groupby(bucket)`` partition-local search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Cosine top-k of one query vector against the whole dataset.
+
+    Returns (id, sim) sorted by (sim desc, id asc), sims in float64
+    rounded to 6 dp for cross-engine comparability.
+    """
+    q = _unit(np.asarray(query, dtype=np.float64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        sims = _unit(mat) @ q
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(sims) > k:
+            idx = np.argpartition(-sims, k)[:k]
+        else:
+            idx = np.arange(len(sims))
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx]),
+                "sim": pa.array(np.round(sims[idx], 6), pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(
+        ["sim", id_col], ascending=[False, True], kind="mergesort"
+    )
+    return partials.head(k).reset_index(drop=True)
+
+
+def lsh_bucket_ids(
+    ds: rd.Dataset,
+    num_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> rd.Dataset:
+    """Append a hyperplane-LSH ``bucket`` column (int32). Vectors in the
+    same bucket are cosine-close with high probability; a 100 TB corpus
+    groups by bucket once and probes partitions, not the full scan."""
+
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def fn(t: pa.Table) -> pa.Table:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        d = mat.shape[1]
+        if d not in planes_cache:
+            rng = np.random.default_rng(seed)
+            planes_cache[d] = rng.standard_normal((d, num_planes))
+        signs = (mat @ planes_cache[d]) > 0
+        bucket = np.zeros(len(mat), dtype=np.int32)
+        for j in range(num_planes):
+            bucket = (bucket << 1) | signs[:, j].astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lsh_topk(
+    ds_with_buckets: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    num_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> pd.DataFrame:
+    """Approximate top-k: scan only buckets within ``probe_hamming`` of
+    the query's bucket (multi-probe), then exact cosine within them."""
+    q = np.asarray(query, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((len(q), num_planes))
+    signs = (q @ planes) > 0
+    qb = 0
+    for j in range(num_planes):
+        qb = (qb << 1) | int(signs[j])
+    probes = {qb}
+    if probe_hamming >= 1:
+        for j in range(num_planes):
+            probes.add(qb ^ (1 << j))
+    probe_arr = pa.array(sorted(probes), pa.int32())
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["bucket"], value_set=probe_arr))
+
+    pruned = ds_with_buckets.map_batches(keep, batch_format="pyarrow")
+    return brute_force_topk(pruned, q, k=k, vec_col=vec_col, id_col=id_col)

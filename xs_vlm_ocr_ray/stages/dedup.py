@@ -1,0 +1,259 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The exact path is the engine's restatement of the reference's
+content-hash dedup cache (SURVEY.md D1/T5/J2,
+src/ui/MainWindow.cpp:1421-1439, src/managers/HistoryManager.cpp:466-508):
+identical payloads are detected by canonical hash and computed once. At
+corpus scale this becomes the hash-keyed shuffle; near-dup variants
+(MinHash/LSH, SimHash) are the standard training-data additions.
+
+Scale notes (100 TB design point):
+- every groupby here is preceded by a within-batch partial reduce, so
+  the shuffle moves one row per key per batch, not one per input row;
+- LSH banding turns the quadratic near-dup problem into a
+  ``groupby(band_id, band_hash)`` whose hot buckets are bounded by
+  ``max_bucket`` (skew guard — oversized buckets are dropped with a
+  count, never silently).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.textstats import jaccard, shingles
+
+# --- exact dedup ---------------------------------------------------------
+
+
+def add_text_hash(ds: rd.Dataset, text_col: str = "text", out_col: str = "content_hash") -> rd.Dataset:
+    """Append md5 hex of the UTF-8 text (vectorized per batch)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        hashes = [md5(x.encode("utf-8")).hexdigest() if x is not None else "" for x in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(hashes, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_exact_stats(
+    ds: rd.Dataset, key: str = "content_hash", order_col: str = "doc_id"
+) -> rd.Dataset:
+    """Per-hash group stats: keeper (min order_col) + duplicate count.
+
+    Partial reduce inside map_batches → small groupby (one row per key
+    per batch crosses the shuffle).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False).agg(
+            keeper=(order_col, "min"), n=(order_col, "size")
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(key).aggregate(
+        Min("keeper", alias_name="keeper"), Sum("n", alias_name="n_dups")
+    )
+    return out
+
+
+def dedup_exact(
+    ds: rd.Dataset, key: str = "content_hash", order_col: str = "doc_id"
+) -> rd.Dataset:
+    """Keep exactly one row per key — the one with the smallest
+    ``order_col`` (deterministic winner). Hash-partition shuffle."""
+
+    def within_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_col, kind="mergesort").head(1)
+
+    pre = ds.map_batches(within_batch, batch_format="pandas")
+    return pre.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+# --- MinHash + LSH near-dup ---------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Actor-pool kernel: text → MinHash signature (uint64 × num_perm).
+
+    Permutation parameters are derived once per actor from the seed
+    (deterministic across the pool)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = 64,
+        shingle_k: int = 5,
+        seed: int = 42,
+    ):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def _sig(self, text: str) -> np.ndarray:
+        sh = shingles(text, self.k)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        # (a*h + b) mod p, broadcast: perms × shingles
+        prod = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return prod.min(axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        sigs = np.stack([self._sig(x or "") for x in texts])
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "minhash": pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)),
+            }
+        )
+
+
+def lsh_band_rows(
+    sig_ds: rd.Dataset, id_col: str = "doc_id", bands: int = 16
+) -> rd.Dataset:
+    """Explode signatures to (band_id, band_hash, id) rows for the LSH
+    bucket groupby."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in t["minhash"].to_pylist()])
+        n, p = sigs.shape
+        rows_per_band = p // bands
+        out_ids = np.repeat(ids, bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        bh = np.empty(n * bands, dtype=np.uint64)
+        for b in range(bands):
+            chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            # stable reduce of the band rows to one uint64
+            acc = np.zeros(n, dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                acc = acc * np.uint64(1_000_003) + chunk[:, c]
+            bh[b::bands] = acc
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.array(bh),
+            }
+        )
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(
+    band_ds: rd.Dataset, id_col: str = "doc_id", max_bucket: int = 64
+) -> pd.DataFrame:
+    """groupby LSH buckets → unique candidate pairs (small result,
+    driver-side). Buckets larger than ``max_bucket`` are skew-guarded:
+    dropped with an in-band count (column ``oversized``)."""
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        if len(ids) > max_bucket:
+            return pd.DataFrame({"a": [-1], "b": [len(ids)]})  # oversized marker
+        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    pairs = (
+        band_ds.groupby(["band_id", "band_hash"])
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"a": [], "b": []})
+    oversized = pairs[pairs["a"] == -1]
+    pairs = pairs[pairs["a"] != -1].drop_duplicates().reset_index(drop=True)
+    pairs.attrs["n_oversized_buckets"] = len(oversized)
+    return pairs
+
+
+def verify_pairs_jaccard(
+    docs_ds: rd.Dataset,
+    pairs: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Exact Jaccard verification of candidate pairs. The candidate id
+    set is broadcast as a filter; shingle sets for candidates only are
+    computed distributed, then the (small) pair list is joined
+    driver-side."""
+    if pairs.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    cand_ids = set(pairs["a"]).union(pairs["b"])
+
+    def collect(t: pa.Table) -> pa.Table:
+        ids, sh = [], []
+        for i, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if i in cand_ids:
+                ids.append(i)
+                sh.append(list(shingles(x or "", shingle_k)))
+        return pa.table({id_col: pa.array(ids, pa.int64()), "sh": pa.array(sh, pa.list_(pa.uint64()))})
+
+    rows = docs_ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+    sets = {r[id_col]: set(r["sh"]) for _, r in rows.iterrows()}
+    out = []
+    for _, p in pairs.iterrows():
+        j = jaccard(sets.get(p["a"], set()), sets.get(p["b"], set()))
+        if j >= threshold:
+            out.append({"a": int(p["a"]), "b": int(p["b"]), "jaccard": round(j, 6)})
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+class SimHasher:
+    """text → 64-bit SimHash (token-hash bit votes)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        if not text:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+            votes += bits.astype(np.int64) * 2 - 1
+        out = np.packbits((votes > 0).astype(np.uint8))
+        return int.from_bytes(out.tobytes(), "big")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hs = [self.simhash64(x or "") for x in t[self.text_col].to_pylist()]
+        return pa.table(
+            {self.id_col: t[self.id_col], "simhash": pa.array(hs, pa.uint64())}
+        )

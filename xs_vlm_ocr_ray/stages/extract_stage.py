@@ -1,0 +1,131 @@
+"""The heavy extraction stage: a stateful actor-pool `map_batches` class.
+
+This is the Ray-native restatement of the reference's engine-adapter
+lifecycle (SURVEY.md T1, src/core/ModelAdapter.h:31-38): everything the
+adapter's ``initialize()`` did once per engine — compile patterns, build
+parser state, pin model weights — happens once per actor in
+``__init__``; ``recognize()`` becomes the vectorized ``__call__`` over an
+Arrow batch. One actor per pool slot replaces the reference's
+mutex-serialized shared adapter (src/adapters/QwenAdapter.cpp:484) — the
+pool parallelizes by construction.
+
+Error model: in-band ``success/error`` columns, never exceptions
+(reference semantics, src/adapters/QwenAdapter.cpp:538-545). Giant
+documents are segmented *inside* the actor via ``split_html`` (exact, see
+extract.py) so per-row working memory stays bounded; cross-actor
+scattering of segments is the pipeline-level option (pipelines/extract.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..extract import extract_html, split_html
+from ..functions.hashing import content_hash_batch
+from ..schema import HTML_ENGINE_CONFIDENCE, SPAN_TYPE
+
+
+def spans_with_bbox(span_texts: list[str], confidence: float = HTML_ENGINE_CONFIDENCE):
+    """Assign deterministic reading-order bboxes: the i-th of n content
+    blocks occupies the full width at vertical band [i/n, (i+1)/n) —
+    the whole-page analog of the reference's single (0,0,1,1) block
+    (src/adapters/QwenAdapter.cpp:554-560), refined to per-block bands
+    so reading-order sort (y0, x0, idx) reproduces document order."""
+    n = len(span_texts)
+    if n == 0:
+        return []
+    return [
+        {
+            "text": t,
+            "x0": 0.0,
+            "y0": i / n,
+            "x1": 1.0,
+            "y1": (i + 1) / n,
+            "confidence": confidence,
+        }
+        for i, t in enumerate(span_texts)
+    ]
+
+
+class HtmlExtractor:
+    """Actor-pool batch kernel: pages batch in → results columns out.
+
+    Pass the CLASS to ``map_batches(HtmlExtractor, fn_constructor_kwargs=...,
+    concurrency=N, batch_size=B)``.
+    """
+
+    ENGINE_ID = "local_html"
+
+    def __init__(
+        self,
+        prompt: str = "",
+        params: dict[str, str] | None = None,
+        emit_spans: bool = True,
+        segment_bytes: int = 4 << 20,
+        keep_input_columns: tuple[str, ...] = ("shard_id", "row_idx"),
+    ):
+        # Per-actor setup (once): warm the module-level compiled regexes
+        # and freeze config. The analog of adapter initialize() (T1).
+        self.prompt = prompt
+        self.params = dict(params or {})
+        self.emit_spans = emit_spans
+        self.segment_bytes = segment_bytes
+        self.keep = keep_input_columns
+        extract_html(b"<p>warmup</p>")
+
+    def _extract_one(self, payload: bytes | None) -> tuple[bool, str, list[str]]:
+        if payload is not None and len(payload) > self.segment_bytes:
+            texts: list[str] = []
+            for seg in split_html(payload, self.segment_bytes):
+                r = extract_html(seg)
+                if not r.success:
+                    return False, r.error, []
+                texts.extend(r.span_texts)
+            return True, "", texts
+        r = extract_html(payload)
+        return r.success, r.error, r.span_texts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["html"].to_pylist()
+        n = len(payloads)
+        success = [False] * n
+        error = [""] * n
+        texts = [""] * n
+        spans_col: list[list[dict]] = [[]] * n
+        ms = [0] * n
+        perf = time.perf_counter_ns
+        for i, p in enumerate(payloads):
+            t0 = perf()
+            ok, err, span_texts = self._extract_one(p)
+            success[i] = ok
+            error[i] = err
+            if ok:
+                if self.emit_spans:
+                    spans_col[i] = spans_with_bbox(span_texts)
+                # assembled full text: reading-order merge + final trim
+                # (byte-exact contract lives in extract.py / textnorm.py)
+                texts[i] = _assemble(span_texts)
+            ms[i] = (perf() - t0) // 1_000_000
+
+        hashes = content_hash_batch(payloads, self.prompt, self.ENGINE_ID, self.params)
+        cols: dict[str, pa.Array] = {"url": batch["url"]}
+        cols["extracted_text"] = pa.array(texts, pa.large_string())
+        if self.emit_spans:
+            cols["spans"] = pa.array(spans_col, pa.list_(SPAN_TYPE))
+        cols["success"] = pa.array(success, pa.bool_())
+        cols["error"] = pa.array(error, pa.string())
+        cols["engine"] = pa.array([self.ENGINE_ID] * n, pa.string())
+        cols["processing_ms"] = pa.array(ms, pa.int64())
+        cols["content_hash"] = pa.array(hashes, pa.string())
+        for k in self.keep:
+            if k in batch.column_names:
+                cols[k] = batch[k]
+        return pa.table(cols)
+
+
+def _assemble(span_texts: list[str]) -> str:
+    from ..functions.textnorm import merge_full_text, qt_trim
+
+    return qt_trim(merge_full_text(span_texts))
