@@ -698,6 +698,26 @@ def extract_pages(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def extract_pages_vlm(sf_dir: str) -> pd.DataFrame:
+    """Same corpus through the registry-selected stub VLM engine
+    (online-adapter semantics: provider inheritance, prompt defaulting,
+    box-normalizer chain, per-row timeout, error_kind). Rows-only check;
+    the engine's own invariants are pytest-gated (tests/test_engines.py)."""
+    from ..engines import build_engine_stage, default_config
+    from .extract import build_extract_ds
+
+    cfg = default_config()
+    cls, kwargs = build_engine_stage(cfg, "stub-vlm")
+    pdir = pages_dir_for(sf_dir)
+    ds = build_extract_ds(pdir, engine_cls=cls, engine_kwargs=kwargs)
+    df = ds.to_pandas()
+    return (
+        df[["url", "extracted_text", "success", "error", "error_kind", "content_hash"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 # --------------------------------------------------------------------------
 # registries
 
@@ -726,6 +746,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
     "extract_pages": extract_pages,
+    "extract_pages_vlm": extract_pages_vlm,
 }
 
 ORACLE_SQL = {
