@@ -698,6 +698,49 @@ def extract_pages(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def mirror_pages_dir_for(sf_dir: str, seed: int = 42) -> str:
+    """Pages corpus plus a mirror shard (every 20th row repeated under a
+    ``?mirror=1`` url — the Common-Crawl mirror-site duplicate case)."""
+    base = pages_dir_for(sf_dir, seed)
+    d = base + "_mirror"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        from ..fixtures import pages_table, sf_to_n_rows
+
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for f in os.listdir(base):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(base, f), os.path.join(d, f))
+        n = sf_to_n_rows(_sf_from_dir(sf_dir))
+        t = pages_table(range(0, n, 20), seed=seed)
+        urls = [u + "?mirror=1" for u in t["url"].to_pylist()]
+        t = t.set_column(0, "url", pa.array(urls, pa.string()))
+        pq.write_table(t, os.path.join(d, "zz-mirror.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def extract_pages_dedup(sf_dir: str) -> pd.DataFrame:
+    """Dedup-gated flagship over the mirror-augmented corpus: compute
+    once per content hash, mirror rows emitted as 0-ms cache hits
+    (SURVEY.md D1/J2). Rows-only check; byte-identity vs the direct
+    pipeline is pytest-gated (tests/test_dedup_extract.py)."""
+    from .dedup_extract import build_dedup_extract_ds
+
+    pdir = mirror_pages_dir_for(sf_dir)
+    df = build_dedup_extract_ds(pdir).to_pandas()
+    return (
+        df[["url", "extracted_text", "success", "error", "content_hash",
+            "dedup_hit", "processing_ms"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 def extract_pages_vlm(sf_dir: str) -> pd.DataFrame:
     """Same corpus through the registry-selected stub VLM engine
     (online-adapter semantics: provider inheritance, prompt defaulting,
@@ -747,6 +790,7 @@ QUERIES = {
     "q_ann_lsh_topk": q_ann_lsh_topk,
     "extract_pages": extract_pages,
     "extract_pages_vlm": extract_pages_vlm,
+    "extract_pages_dedup": extract_pages_dedup,
 }
 
 ORACLE_SQL = {
