@@ -1,0 +1,63 @@
+"""Export sinks (SURVEY.md K1/K3/K4/K6)."""
+
+import csv
+import glob
+import io
+import os
+
+import pandas as pd
+import pytest
+
+from xs_vlm_ocr_ray.sinks.export import (
+    result_csv_bytes,
+    result_doc_html,
+    result_to_csv,
+    result_to_txt,
+    write_results_csv,
+)
+
+
+def test_result_txt_roundtrip(tmp_path):
+    p = str(tmp_path / "out.txt")
+    result_to_txt("héllo\nwörld", p)
+    assert open(p, "rb").read() == "héllo\nwörld".encode("utf-8")
+
+
+def test_result_csv_bom_and_escaping(tmp_path):
+    text = 'plain line\nwith, comma\nwith "quote"\n'
+    raw = result_csv_bytes(text)
+    assert raw.startswith(b"\xef\xbb\xbf")  # Excel BOM (MainWindow.cpp:1879)
+    body = raw[3:].decode("utf-8")
+    assert body == 'plain line\n"with, comma"\n"with ""quote"""\n'
+    # a std csv reader parses it back to the original lines
+    p = str(tmp_path / "out.csv")
+    result_to_csv(text, p)
+    with open(p, encoding="utf-8-sig", newline="") as f:
+        rows = [r[0] if r else "" for r in csv.reader(f)]
+    # csv treats the final \n as EOF, not an empty record
+    assert rows == text.split("\n")[:-1]
+
+
+def test_result_doc_html_escapes():
+    html = result_doc_html('a<b>&"c"\nnext')
+    assert "a&lt;b&gt;&amp;&quot;c&quot;" in html
+    assert "<br>" in html
+    assert "schemas-microsoft-com:office:word" in html
+
+
+def test_write_results_csv_distributed(ray_session, tiny_pages_dir, tmp_path):
+    """Distributed CSV sink: Arrow escaping, readable back, flat columns
+    only."""
+    from xs_vlm_ocr_ray.pipelines.extract import build_extract_ds
+
+    ds = build_extract_ds(tiny_pages_dir, engine_kwargs={"emit_spans": False})
+    out = str(tmp_path / "csv_out")
+    write_results_csv(ds, out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert files
+    df = pd.concat([pd.read_csv(f, keep_default_na=False) for f in files])
+    assert len(df) == 200
+    assert "spans" not in df.columns and "html" not in df.columns
+    # extracted text with embedded newlines survives the CSV round-trip
+    ok = df[df["success"] == True]  # noqa: E712
+    assert (ok["extracted_text"].str.len() > 0).any()

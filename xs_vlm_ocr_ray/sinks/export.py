@@ -1,0 +1,102 @@
+"""Export sinks (SURVEY.md K1/K3/K4/K6/K7).
+
+Two tiers, mirroring the reference:
+
+1. **Corpus-scale sinks** — distributed, streaming, partitioned:
+   ``write_results_parquet`` (K1, the engine's results/lineage store)
+   and ``write_results_csv`` (K4 at scale; Arrow's CSV writer performs
+   RFC-4180 quote-doubling/wrapping, matching the reference's manual
+   escaping at src/ui/MainWindow.cpp:1873-1899).
+
+2. **Single-result exports** — the reference's per-result file exports
+   operate on ONE extraction result (driver-side, small):
+   ``result_to_txt`` / ``result_to_markdown`` (K3, UTF-8 dump,
+   src/ui/MainWindow.cpp:1900-1914), ``result_to_csv`` (K4 line-split +
+   escaping + UTF-8 BOM for Excel, src/ui/MainWindow.cpp:1873-1899),
+   ``result_to_doc_html`` (K6 MS-Office HTML envelope around escaped
+   text, src/ui/MainWindow.cpp:1855-1872).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+from ..functions.textnorm import csv_escape, html_escape_text
+
+# Columns that make sense in a flat CSV (no list/binary columns).
+_CSV_COLS = [
+    "url",
+    "extracted_text",
+    "success",
+    "error",
+    "engine",
+    "processing_ms",
+    "content_hash",
+    "shard_id",
+    "row_idx",
+]
+
+
+def write_results_parquet(ds: rd.Dataset, out_dir: str) -> None:
+    """K1: partitioned parquet results store (one dir per shard —
+    resumable, never one giant file)."""
+    ds.write_parquet(out_dir, partition_cols=["shard_id"])
+
+
+def write_results_csv(ds: rd.Dataset, out_dir: str) -> None:
+    """K4 at corpus scale: distributed CSV with Arrow RFC-4180 escaping.
+    List/binary columns are dropped (CSV is a flat format)."""
+    cols = [c for c in _CSV_COLS if c in ds.schema().names]
+    ds.select_columns(cols).write_csv(out_dir)
+
+
+# --- single-result exports (driver-side, reference-exact) ----------------
+
+_UTF8_BOM = b"\xef\xbb\xbf"
+
+
+def result_to_txt(text: str, path: str) -> None:
+    """K3: plain UTF-8 dump (also used for .md — the reference writes
+    the same bytes for txt and markdown, MainWindow.cpp:1900-1914)."""
+    _write_bytes(path, text.encode("utf-8"))
+
+
+result_to_markdown = result_to_txt
+
+
+def result_csv_bytes(text: str) -> bytes:
+    """K4: line-split → one CSV row per line, RFC-4180 escaping, UTF-8
+    BOM prefix for Excel (MainWindow.cpp:1873-1899)."""
+    lines = text.split("\n")
+    body = "\n".join(csv_escape(line) for line in lines)
+    return _UTF8_BOM + body.encode("utf-8")
+
+
+def result_to_csv(text: str, path: str) -> None:
+    _write_bytes(path, result_csv_bytes(text))
+
+
+def result_doc_html(text: str) -> str:
+    """K6: MS-Office Word-HTML envelope around HTML-escaped text
+    (MainWindow.cpp:1855-1872)."""
+    escaped = html_escape_text(text).replace("\n", "<br>\n")
+    return (
+        "<html xmlns:o='urn:schemas-microsoft-com:office:office' "
+        "xmlns:w='urn:schemas-microsoft-com:office:word' "
+        "xmlns='http://www.w3.org/TR/REC-html40'>"
+        "<head><meta charset='utf-8'><title>Export</title></head>"
+        f"<body><div>{escaped}</div></body></html>"
+    )
+
+
+def result_to_doc(text: str, path: str) -> None:
+    _write_bytes(path, result_doc_html(text).encode("utf-8"))
+
+
+def _write_bytes(path: str, data: bytes) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
