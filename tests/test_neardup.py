@@ -1,0 +1,79 @@
+"""Near-dup operator exactness: n-gram Jaccard, SimHash banding,
+embedding cosine — each verified against a brute-force quadratic scan
+at tiny scale (the distributed plan must find exactly the same pairs)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs_py():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def test_ngram_jaccard_exact(docs_ds, docs_py):
+    from xs_vlm_ocr_ray.functions.textstats import jaccard, shingles
+    from xs_vlm_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(docs_ds, threshold=0.3)
+    sets = {i: shingles(x or "", 5) for i, x in docs_py}
+    ids = sorted(sets)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sets[a] and sets[b] and round(jaccard(sets[a], sets[b]), 6) >= 0.3
+    }
+    assert set(zip(got["a"], got["b"])) == want
+
+
+def test_simhash_banding_exact(docs_ds, docs_py):
+    from xs_vlm_ocr_ray.stages.dedup import SimHasher, simhash_neardup_pairs
+
+    got = simhash_neardup_pairs(docs_ds, max_hamming=3)
+    hs = {i: SimHasher.simhash64(x or "") for i, x in docs_py}
+    ids = sorted(hs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert set(zip(got["a"], got["b"])) == want
+    if len(got):
+        assert (got["hamming"] <= 3).all()
+
+
+def test_embedding_neardup_exact(ray_session):
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = embedding_neardup_pairs(ds, threshold=0.4)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.4
+    }
+    assert set(zip(got["a"], got["b"])) == want
+    if len(got):
+        assert (got["sim"] >= 0.4).all()

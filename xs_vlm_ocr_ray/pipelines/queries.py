@@ -557,6 +557,74 @@ def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     return verified.sort_values(["a", "b"]).reset_index(drop=True) if len(verified) else verified
 
 
+def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """EXACT word-5-shingle Jaccard near-dup pairs ≥ 0.3 via distributed
+    inverted shingle index (oracle-checked against a DuckDB self-join)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i
+  FROM words
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS s
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3
+ORDER BY a, b
+"""
+
+
+def q_doc_simhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """EXACT SimHash pairs at hamming ≤ 3 via pigeonhole band blocking
+    (4 bands of 16 bits). Not SQL-expressible (blake2b token hashes) →
+    rows-only check; exactness vs brute force is pytest-gated."""
+    from ..stages.dedup import simhash_neardup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_neardup_pairs(docs, max_hamming=3)
+
+
+def q_doc_embed_neardup(sf_dir: str) -> pd.DataFrame:
+    """EXACT embedding-cosine near-dup pairs ≥ 0.4 (broadcast matrix,
+    per-batch matmul, no shuffle). Oracle-checked against a DuckDB
+    cosine self-join."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+_EMBED_NEARDUP_SQL = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.4
+ORDER BY a, b
+"""
+
+
 def q_doc_simhash(sf_dir: str) -> pd.DataFrame:
     """SimHash fingerprints (rows-only check)."""
     from ..stages.dedup import SimHasher
@@ -782,6 +850,9 @@ QUERIES = {
     "q_unique_langs": q_unique_langs,
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_minhash_neardup": q_doc_minhash_neardup,
+    "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "q_doc_simhash_neardup": q_doc_simhash_neardup,
+    "q_doc_embed_neardup": q_doc_embed_neardup,
     "q_doc_simhash": q_doc_simhash,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_langid": q_doc_langid,
@@ -810,6 +881,8 @@ ORACLE_SQL = {
     "q_doc_charstats": _DOC_CHARSTATS_SQL,
     "q_unique_langs": _UNIQUE_LANGS_SQL,
     "q_doc_exact_dedup": _DOC_DEDUP_SQL,
+    "q_doc_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "q_doc_embed_neardup": _EMBED_NEARDUP_SQL,
     "q_ann_topk": _ANN_TOPK_SQL,
     # q_doc_minhash_neardup / q_doc_simhash / q_doc_fingerprint /
     # q_doc_langid / q_doc_quality / q_ann_lsh_topk / extract_pages:

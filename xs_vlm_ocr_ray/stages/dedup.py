@@ -228,6 +228,96 @@ def verify_pairs_jaccard(
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
 
+# --- n-gram Jaccard near-dup (inverted shingle index) --------------------
+
+
+def ngram_jaccard_pairs(
+    docs_ds: rd.Dataset,
+    threshold: float = 0.3,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting: int | None = None,
+) -> pd.DataFrame:
+    """EXACT n-gram (word k-shingle) Jaccard near-dup pairs via a
+    distributed inverted shingle index.
+
+    Plan: explode distinct shingle hashes per doc → ``groupby(shingle)``
+    emits candidate pairs per posting list → ``groupby(pair)`` counts
+    shared shingles (= |A∩B| exactly) → join per-doc set sizes →
+    jaccard = i/(|A|+|B|-i), filter ≥ threshold.
+
+    Scale path: ``max_posting`` frequency-caps hot shingles (stopword
+    shingles shared by millions of docs) — the standard skew guard; it
+    makes the result approximate (pairs sharing ONLY ultra-common
+    shingles are missed) and is OFF by default for oracle exactness.
+    Set sizes are collected driver-side here (one int per doc); at
+    corpus scale that join is a broadcast of the candidate ids only.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        sh_out: list[int] = []
+        sizes_id: list[int] = []
+        for i, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ss = shingles(x or "", shingle_k)
+            if not ss:
+                continue
+            ids_out.extend([i] * len(ss))
+            sh_out.extend(ss)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "sh": pa.array(sh_out, pa.uint64()),
+            }
+        )
+
+    postings = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_per_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        if max_posting is not None and len(ids) > max_posting:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    pair_rows = postings.groupby("sh").map_groups(pairs_per_shingle, batch_format="pandas")
+    inter = (
+        pair_rows.groupby(["a", "b"])
+        .aggregate(Count(alias_name="i"))
+        .to_pandas()
+    )
+    if inter.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+
+    # per-doc set sizes (one int per doc; tiny)
+    def size_partial(t: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for i, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ss = shingles(x or "", shingle_k)
+            if ss:
+                ids.append(i)
+                ns.append(len(ss))
+        return pa.table({id_col: pa.array(ids, pa.int64()), "n": pa.array(ns, pa.int64())})
+
+    sizes = (
+        docs_ds.map_batches(size_partial, batch_format="pyarrow")
+        .to_pandas()
+        .set_index(id_col)["n"]
+    )
+    inter["jaccard"] = (
+        inter["i"] / (sizes.loc[inter["a"]].to_numpy() + sizes.loc[inter["b"]].to_numpy() - inter["i"])
+    ).round(6)
+    out = inter[inter["jaccard"] >= threshold][["a", "b", "jaccard"]]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 # --- SimHash -------------------------------------------------------------
 
 
@@ -257,3 +347,130 @@ class SimHasher:
         return pa.table(
             {self.id_col: t[self.id_col], "simhash": pa.array(hs, pa.uint64())}
         )
+
+
+def simhash_neardup_pairs(
+    docs_ds: rd.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """EXACT SimHash near-dup pairs (hamming distance ≤ ``max_hamming``)
+    via pigeonhole band blocking: split the 64-bit fingerprint into
+    ``max_hamming + 1`` bands — any pair within distance ``max_hamming``
+    must agree exactly on at least one band, so a ``groupby(band_id,
+    band_value)`` generates ALL qualifying candidates; an exact popcount
+    verifies each. No quadratic scan, no missed pairs.
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+
+    sig = docs_ds.map_batches(
+        SimHasher(text_col=text_col, id_col=id_col), batch_format="pyarrow"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(hs)
+        out_id = np.repeat(ids, bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        out_val = np.empty(n * bands, dtype=np.uint64)
+        for b in range(bands):
+            shift = np.uint64(b * width)
+            mask = np.uint64((1 << width) - 1)
+            out_val[b::bands] = (hs >> shift) & mask
+        out_sig = np.repeat(hs, bands)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band_id": pa.array(out_band),
+                "band_val": pa.array(out_val),
+                "simhash": pa.array(out_sig),
+            }
+        )
+
+    banded = sig.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        ids = df[id_col].to_numpy()
+        hs = df["simhash"].to_numpy().astype(np.uint64)
+        out = []
+        for i in range(len(ids)):
+            x = hs[i] ^ hs[i + 1 :]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(d <= max_hamming)[0]:
+                out.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
+        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+
+    pairs = (
+        banded.groupby(["band_id", "band_val"])
+        .map_groups(pairs_per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    return (
+        pairs.drop_duplicates(["a", "b"])  # a pair can match in >1 band
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+# --- embedding-cosine near-dup ------------------------------------------
+
+
+def embedding_neardup_pairs(
+    emb_ds: rd.Dataset,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """EXACT embedding-cosine near-dup pairs ≥ threshold.
+
+    The normalized matrix is broadcast once (driver capture → every
+    batch task reads the same object-store copy); each batch computes
+    ``batch × all`` cosine and emits only its qualifying (a < b) pairs —
+    no shuffle, partial results only. This is the brute-force baseline;
+    the LSH-bucketed variant (ann.lsh_bucket_ids + within-bucket pairs)
+    is the approximate scale path when the matrix no longer fits.
+    """
+    all_df = emb_ds.to_pandas()
+    ids_all = all_df[id_col].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in all_df[vec_col]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat_n = mat / norms
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids_b = t[id_col].to_numpy(zero_copy_only=False)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        nn = np.linalg.norm(m, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        sims = (m / nn) @ mat_n.T
+        rows_a, rows_b, rows_s = [], [], []
+        for r in range(sims.shape[0]):
+            hits = np.nonzero(sims[r] >= threshold)[0]
+            for c in hits:
+                if ids_b[r] < ids_all[c]:
+                    rows_a.append(int(ids_b[r]))
+                    rows_b.append(int(ids_all[c]))
+                    rows_s.append(round(float(sims[r, c]), 6))
+        return pa.table(
+            {
+                "a": pa.array(rows_a, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    out = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a": [], "b": [], "sim": []})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
