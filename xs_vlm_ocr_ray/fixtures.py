@@ -255,9 +255,10 @@ def write_pages_dataset(
     import ray.data as rd
 
     if num_shards is None:
-        # enough shards that read parallelism ≥ pool size even at tiny
-        # scale; ~5k rows (~25–60 MB) per shard at bench scale
-        num_shards = max(8, n_rows // 5_000)
+        # enough shards that #work-items ≥ 2× a 32-CPU node's pool even
+        # at bench scale (ray_guide: row_groups ≥ 2× cluster CPUs);
+        # ~2.5k rows (~15–40 MB) per shard
+        num_shards = max(8, n_rows // 2_500)
     rows_per_shard = -(-n_rows // num_shards)
     ds = rd.range(n_rows, override_num_blocks=num_shards)
     ds = ds.map_batches(pages_batch_fn(seed), batch_format="pyarrow", batch_size=1024)

@@ -719,6 +719,64 @@ def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multimodal stages over a deterministic synthetic media table
+# (binary payload columns; decode is fake-codec — rows-only checks; the
+# plumbing invariants are pytest-gated, tests/test_multimodal.py)
+
+
+def _media_ds(sf_dir: str, kind: str):
+    import pyarrow.compute as _pc
+
+    from ..stages.multimodal import media_table
+
+    n = 200 if _sf_from_dir(sf_dir) <= 0.001 else 1000
+    t = media_table(n)
+    return rd.from_arrow(t.filter(_pc.equal(t["kind"], kind)))
+
+
+def q_media_image_features(sf_dir: str) -> pd.DataFrame:
+    """Image decode→resize→feature actor pool (small batches: multi-MB
+    binary rows)."""
+    from ..stages.multimodal import ImageFeatureExtractor, MEDIA_BATCH_SIZE
+
+    out = _media_ds(sf_dir, "image").map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs={"resize_to": (16, 12)},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_audio_features(sf_dir: str) -> pd.DataFrame:
+    from ..stages.multimodal import AudioFeatureExtractor, MEDIA_BATCH_SIZE
+
+    out = _media_ds(sf_dir, "audio").map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_video_frames(sf_dir: str) -> pd.DataFrame:
+    from ..stages.multimodal import MEDIA_BATCH_SIZE, VideoFrameSampler
+
+    out = _media_ds(sf_dir, "video").map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_k": 10},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    return (
+        out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
 # Flagship extraction over synthesized pages (rows-only; the real gate is
 # pytest byte-identity — tests/test_pipeline.py)
 
@@ -739,7 +797,7 @@ def pages_dir_for(sf_dir: str, seed: int = 42) -> str:
 
     sf = _sf_from_dir(sf_dir)
     n = sf_to_n_rows(sf)
-    d = f"/tmp/xs_pages_cache/seed{seed}_n{n}_v2"
+    d = f"/tmp/xs_pages_cache/seed{seed}_n{n}_v3"
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         import shutil
@@ -859,6 +917,9 @@ QUERIES = {
     "q_doc_quality": q_doc_quality,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_media_image_features": q_media_image_features,
+    "q_media_audio_features": q_media_audio_features,
+    "q_media_video_frames": q_media_video_frames,
     "extract_pages": extract_pages,
     "extract_pages_vlm": extract_pages_vlm,
     "extract_pages_dedup": extract_pages_dedup,

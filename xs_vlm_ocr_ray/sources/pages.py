@@ -104,6 +104,7 @@ def read_pages(
     columns: list[str] | None = None,
     skip_shards: frozenset[int] | set[int] = frozenset(),
     slice_rows: int = 2048,
+    reader_pool: tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Lineage-preserving read of a pages parquet directory."""
     paths = (
@@ -123,10 +124,25 @@ def read_pages(
         )
         return rd.from_arrow(empty)
     ds = rd.from_items(items, override_num_blocks=len(items))
+    # The reader MUST be its own operator: if it fused into the
+    # downstream extraction actor pool, the fused op would batch the
+    # (few) work-item rows by the extractor's batch_size and collapse
+    # the whole pipeline into one task (observed: 1 task for a 40-shard
+    # corpus → zero scaling). Actor→Actor ops never fuse
+    # (ray operator_fusion._fuse_compute_strategy), so the reader runs
+    # as its own small actor pool: one task per work item, slices
+    # streaming out with backpressure.
+    if reader_pool is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        reader_pool = (1, max(2, min(len(items), cpus)))
     return ds.map_batches(
-        _RowGroupReader(columns, slice_rows),
+        _RowGroupReader,
+        fn_constructor_kwargs={"columns": columns, "slice_rows": slice_rows},
         batch_format="pyarrow",
         batch_size=1,
+        concurrency=reader_pool,
     )
 
 
