@@ -1,0 +1,73 @@
+"""Window / ordered-stream operators vs pandas brute force
+(SURVEY.md §2.10, D2)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_sessionize_exact(events_ds, events_df):
+    from xs_vlm_ocr_ray.stages.window import sessionize
+
+    got = sessionize(events_ds, gap_seconds=1800)
+    want_rows = []
+    for uid, g in events_df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        sid = (g["ts"].diff().dt.total_seconds() > 1800).fillna(False).cumsum()
+        for s, sg in g.groupby(sid):
+            want_rows.append((uid, int(s), len(sg), sg["ts"].min(), sg["ts"].max()))
+    want = pd.DataFrame(
+        want_rows, columns=["user_id", "session_id", "n_events", "session_start", "session_end"]
+    ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"session_id": "int64", "n_events": "int64"}),
+        want,
+        check_dtype=False,
+    )
+
+
+def test_drop_consecutive_exact(events_ds, events_df):
+    from xs_vlm_ocr_ray.stages.window import drop_consecutive
+
+    got = drop_consecutive(events_ds)
+    df = events_df.sort_values(["ts", "event_id"], kind="mergesort")
+    keep = df["event_type"].ne(df["event_type"].shift())
+    want = (
+        df[keep][["event_id", "ts", "event_type"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) < len(df)  # something was actually dropped
+
+
+def test_tumbling_window_counts(events_ds, events_df):
+    from xs_vlm_ocr_ray.stages.window import tumbling_window_agg
+
+    got = tumbling_window_agg(events_ds)
+    want_n = (
+        events_df.assign(window=events_df["ts"].dt.floor("D"))
+        .groupby(["window", "event_type"])
+        .size()
+    )
+    assert int(got["n"].sum()) == len(events_df)
+    want = want_n.reset_index(name="n_want")
+    want["window"] = want["window"].astype("datetime64[us]")
+    got = got.copy()
+    got["window"] = got["window"].astype("datetime64[us]")
+    m = got.merge(want, on=["window", "event_type"], how="outer")
+    assert len(m) == len(got) == len(want)
+    assert (m["n"] == m["n_want"]).all()

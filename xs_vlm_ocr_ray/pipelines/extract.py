@@ -41,11 +41,25 @@ def build_extract_ds(
     engine_cls=HtmlExtractor,
     engine_kwargs: dict | None = None,
     concurrency=None,
-    batch_size: int = 512,
+    batch_size: int | None = None,
     skip_shards=frozenset(),
     classify: bool = True,
 ) -> rd.Dataset:
-    """Lazy Dataset for the extraction pipeline (no execution)."""
+    """Lazy Dataset for the extraction pipeline (no execution).
+
+    Execution mode by engine cost profile (SURVEY.md §4.2):
+
+    - ``concurrency=None`` (default, cheap-setup engines like the local
+      HTML extractor): the engine runs as a TASK-pool stage and fuses
+      with the reader into one task per work item — tasks share the
+      node's CPUs fluidly with the write stage, which is what makes the
+      8→32-CPU scaling linear (actor pools would statically partition
+      the CPUs between reader/extractor and starve one side);
+    - ``concurrency=N`` (heavy engines that pin weights/models): the
+      engine class becomes a ``map_batches`` ACTOR pool with per-actor
+      ``__init__`` setup — the reference's adapter-initialize semantics
+      (T1). Pass an explicit ``batch_size`` sized so a batch ≈ 1-4 s.
+    """
     ds = read_pages(
         sf_dir_or_paths, columns=["url", "html"], skip_shards=skip_shards
     )
@@ -53,20 +67,25 @@ def build_extract_ds(
         ds = ds.map_batches(classify_payload_kind, batch_format="pyarrow")
     kwargs = dict(engine_kwargs or {})
     if concurrency is None:
-        concurrency = default_pool_size()
+        # task mode: a picklable engine INSTANCE fuses with the reader
+        return ds.map_batches(
+            engine_cls(**kwargs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         engine_cls,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=batch_size if batch_size is not None else 512,
         concurrency=concurrency,
     )
 
 
 def default_pool_size() -> int:
-    """Actor-pool size for the heavy stage: leave headroom for the read
-    and write stages so the pipeline never serializes on one operator
-    (SURVEY.md §4 admission control)."""
+    """Actor-pool size for a HEAVY engine stage (concurrency=N path):
+    leave headroom for the read and write stages so the pipeline never
+    serializes on one operator (SURVEY.md §4 admission control)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4

@@ -377,6 +377,74 @@ _POINT_LOOKUP_SQL = "SELECT * FROM events WHERE event_id = 5000"
 
 
 # --------------------------------------------------------------------------
+# Ordered-stream / window operators over `events` (SURVEY.md §2.10:
+# reference D2 consecutive-dup drop generalized; windowed aggregate +
+# sessionization as the standard event-stream companions)
+
+
+def q_events_window_daily(sf_dir: str) -> pd.DataFrame:
+    """Tumbling daily window aggregate per event_type."""
+    from ..stages.window import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return tumbling_window_agg(ds)
+
+
+_WINDOW_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS window, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessions (30 min) per user."""
+    from ..stages.window import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return sessionize(ds, gap_seconds=1800)
+
+
+_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def q_events_drop_consecutive(sf_dir: str) -> pd.DataFrame:
+    """D2 at scale: drop rows whose event_type equals the immediately
+    preceding row's (global (ts, event_id) order)."""
+    from ..stages.window import drop_consecutive
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return drop_consecutive(ds)
+
+
+_DROP_CONSEC_SQL = """
+SELECT event_id, ts, event_type FROM (
+  SELECT event_id, ts, event_type,
+         LAG(event_type) OVER (ORDER BY ts, event_id) AS prev
+  FROM events
+) WHERE prev IS NULL OR event_type <> prev
+ORDER BY ts, event_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Documents: scans, counts, previews, char metrics (A1/A2/M20)
 
 
@@ -878,7 +946,10 @@ def extract_pages_vlm(sf_dir: str) -> pd.DataFrame:
     cfg = default_config()
     cls, kwargs = build_engine_stage(cfg, "stub-vlm")
     pdir = pages_dir_for(sf_dir)
-    ds = build_extract_ds(pdir, engine_cls=cls, engine_kwargs=kwargs)
+    # heavy-engine path: actor pool with per-actor init (T1 semantics)
+    ds = build_extract_ds(
+        pdir, engine_cls=cls, engine_kwargs=kwargs, concurrency=4, batch_size=256
+    )
     df = ds.to_pandas()
     return (
         df[["url", "extracted_text", "success", "error", "error_kind", "content_hash"]]
@@ -900,6 +971,9 @@ QUERIES = {
     "q_top1_per_key": q_top1_per_key,
     "q_retention_topn": q_retention_topn,
     "q_point_lookup": q_point_lookup,
+    "q_events_window_daily": q_events_window_daily,
+    "q_events_sessions": q_events_sessions,
+    "q_events_drop_consecutive": q_events_drop_consecutive,
     "q_doc_keyword_count": q_doc_keyword_count,
     "q_char_metric": q_char_metric,
     "q_doc_preview": q_doc_preview,
@@ -935,6 +1009,9 @@ ORACLE_SQL = {
     "q_top1_per_key": _TOP1_SQL,
     "q_retention_topn": _RETENTION_SQL,
     "q_point_lookup": _POINT_LOOKUP_SQL,
+    "q_events_window_daily": _WINDOW_DAILY_SQL,
+    "q_events_sessions": _SESSIONS_SQL,
+    "q_events_drop_consecutive": _DROP_CONSEC_SQL,
     "q_doc_keyword_count": _DOC_KEYWORD_SQL,
     "q_char_metric": _CHAR_METRIC_SQL,
     "q_doc_preview": _DOC_PREVIEW_SQL,

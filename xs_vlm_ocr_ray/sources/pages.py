@@ -104,7 +104,6 @@ def read_pages(
     columns: list[str] | None = None,
     skip_shards: frozenset[int] | set[int] = frozenset(),
     slice_rows: int = 2048,
-    reader_pool: tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Lineage-preserving read of a pages parquet directory."""
     paths = (
@@ -124,25 +123,19 @@ def read_pages(
         )
         return rd.from_arrow(empty)
     ds = rd.from_items(items, override_num_blocks=len(items))
-    # The reader MUST be its own operator: if it fused into the
-    # downstream extraction actor pool, the fused op would batch the
-    # (few) work-item rows by the extractor's batch_size and collapse
-    # the whole pipeline into one task (observed: 1 task for a 40-shard
-    # corpus → zero scaling). Actor→Actor ops never fuse
-    # (ray operator_fusion._fuse_compute_strategy), so the reader runs
-    # as its own small actor pool: one task per work item, slices
-    # streaming out with backpressure.
-    if reader_pool is None:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        reader_pool = (1, max(2, min(len(items), cpus)))
+    # One 1-row block per work item + batch_size=None (= one batch per
+    # block): a task-pool map that FUSES with downstream task-pool
+    # stages into exactly one task per work item. Two pitfalls this
+    # layout avoids (both observed, both serialized the pipeline):
+    # - a downstream row-count batch_size (e.g. 512) makes the fused op
+    #   bundle the FEW work-item rows into one giant task (zero
+    #   parallelism);
+    # - hosting reader or extractor in actor pools statically reserves
+    #   CPUs per pool, so the pools starve each other instead of
+    #   sharing the node (tasks release CPUs; actors hold them).
     return ds.map_batches(
-        _RowGroupReader,
-        fn_constructor_kwargs={"columns": columns, "slice_rows": slice_rows},
+        _RowGroupReader(columns, slice_rows),
         batch_format="pyarrow",
-        batch_size=1,
-        concurrency=reader_pool,
     )
 
 
