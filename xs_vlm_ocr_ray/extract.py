@@ -63,8 +63,13 @@ def _unescape(text: str) -> str:
 
 
 def _norm(text: str) -> str:
-    """Entity-unescape then collapse all whitespace runs to one space."""
-    return _WS_RE.sub(" ", _unescape(text)).strip()
+    """Entity-unescape then collapse all whitespace runs to one space.
+
+    ``" ".join(s.split())`` is byte-equivalent to
+    ``re.sub(r"\\s+", " ", s).strip()`` (both use the Unicode
+    White_Space set) and ~4× faster — this is the hottest kernel of the
+    extractor (golden-gated)."""
+    return " ".join(_unescape(text).split())
 
 
 # Classification thresholds (fixed — part of the golden contract).
@@ -109,7 +114,18 @@ def extract_html(payload: bytes | None) -> ExtractResult:
 
 
 def _scan(doc: str) -> list[str]:
-    """Single-pass tag-stream scan → kept block texts in document order."""
+    """Single-pass tag-stream scan → kept block texts in document order.
+
+    Implementation note: a `str.find`-based pointer walk, byte-equivalent
+    to tokenizing with ``_TOKEN_RE`` (``<!--.*?(?:-->|$)|<[^>]*>|[^<]+``)
+    but ~2× faster and far lighter on allocations — only text runs are
+    materialized; tag tokens are inspected in place via positional regex
+    match. Equivalences preserved exactly (golden-gated):
+    - an unterminated ``<`` (no closing ``>``) is skipped as a single
+      char and scanning resumes — the regex alternation does the same
+      (no token matches at the ``<``, engine advances one position);
+    - an unterminated comment suppresses the rest of the document.
+    """
     spans: list[str] = []
     buf: list[str] = []          # text pieces of the current block
     linkbuf: list[str] = []      # pieces contributed inside <a>
@@ -121,35 +137,53 @@ def _scan(doc: str) -> list[str]:
         if not buf:
             return
         text = _norm("".join(buf))
-        link = _norm("".join(linkbuf))
+        link = _norm("".join(linkbuf)) if linkbuf else ""
         buf.clear()
         linkbuf.clear()
         if boiler_depth == 0 and _keep_block(len(text), len(link)):
             spans.append(text)
 
-    for m in _TOKEN_RE.finditer(doc):
-        tok = m.group(0)
-        c0 = tok[0]
-        if c0 != "<":
-            if suppress is None and tok and not tok.isspace():
+    n = len(doc)
+    find = doc.find
+    tagname_match = _TAGNAME_RE.match
+    pos = 0
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            lt = n
+        if lt > pos:
+            tok = doc[pos:lt]
+            if suppress is None and not tok.isspace():
                 buf.append(tok)
                 if a_depth > 0:
                     linkbuf.append(tok)
+            pos = lt
             continue
-        if tok.startswith("<!--"):
+        # pos is at '<'
+        if doc.startswith("<!--", pos):
+            end = find("-->", pos + 4)
+            pos = n if end == -1 else end + 3
             continue
-        nm = _TAGNAME_RE.match(tok)
-        if nm is None:
+        gt = find(">", pos + 1)
+        if gt == -1:
+            pos += 1  # regex-equivalent: no token matches here
+            continue
+        nm = tagname_match(doc, pos)
+        if nm is None or nm.end(1) > gt:
+            pos = gt + 1
             continue  # doctype, malformed
         name = nm.group(1).lower()
-        closing = tok.startswith("</")
+        closing = doc[pos + 1] == "/"
+        pos_next = gt + 1
         if suppress is not None:
             if closing and name == suppress:
                 suppress = None
+            pos = pos_next
             continue
         if name in _SUPPRESS_TAGS:
-            if not closing and not tok.endswith("/>"):
+            if not closing and doc[gt - 1] != "/":
                 suppress = name
+            pos = pos_next
             continue
         if name in _BLOCK_TAGS:
             flush()
@@ -165,6 +199,7 @@ def _scan(doc: str) -> list[str]:
                     a_depth -= 1
             else:
                 a_depth += 1
+        pos = pos_next
         # other inline tags: transparent
     flush()
     return spans

@@ -98,7 +98,7 @@ def run_extract(
     engine_cls=HtmlExtractor,
     engine_kwargs: dict | None = None,
     concurrency=None,
-    batch_size: int = 512,
+    batch_size: int | None = None,
     resume: bool = True,
     wave_shards: int | None = None,
     max_waves: int | None = None,
@@ -148,10 +148,24 @@ def run_extract(
             skip_shards=skip,
         )
         t0 = time.perf_counter()
-        ds.write_parquet(tmp_dir, partition_cols=["shard_id"])
+        # The writer is a map stage that FUSES into the extraction task:
+        # each task writes its own (plain, non-hive) parquet file and
+        # returns only a tiny per-shard stats row — one execution total,
+        # no separate Write operator, no second read-back pass for the
+        # manifest. (Hive partition_cols measured ~2× task time;
+        # deriving the manifest by re-reading the output cost one more
+        # full Dataset execution.) Crash safety is unchanged: stats are
+        # returned only after the task's file is written and closed;
+        # task retries rewrite the same deterministic filename; the
+        # manifest is written only after the whole wave dir is renamed
+        # into place.
+        os.makedirs(tmp_dir, exist_ok=True)
+        partials = ds.map_batches(
+            _ShardWriter(tmp_dir), batch_format="pyarrow"
+        ).to_pandas()
         os.replace(tmp_dir, wave_dir)
         wall = time.perf_counter() - t0
-        _write_wave_manifest(out_dir, wave_dir, paths, wall)
+        _manifest_from_partials(out_dir, wave_dir, paths, wall, partials)
     total_wall = time.perf_counter() - t_start
     man = load_manifest(out_dir)
     return {
@@ -200,24 +214,37 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     return out
 
 
-def _write_wave_manifest(
-    out_dir: str, wave_dir: str, shard_paths: list[str], wall_s: float
-) -> None:
-    """Derive per-shard lineage records from the DURABLE wave output.
+class _ShardWriter:
+    """Fused write+stats stage: persist the batch as one parquet file,
+    emit one stats row per shard in the batch (a few bytes — the row
+    data itself never re-enters the pipeline)."""
 
-    Reading back only the tiny metric columns (column-pruned parquet
-    scan) means the manifest describes what is actually on disk — a
-    crash before this point leaves the shard un-recorded and it simply
-    reruns (SURVEY.md §7.4 hard part 4).
-    """
-    stats = rd.read_parquet(
-        wave_dir, columns=["success", "processing_ms", "content_hash", "row_idx", "shard_id"]
-    )
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
 
-    def per_batch(df):
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import os as _os
+
         import pandas as pd
+        import pyarrow.parquet as pq
 
-        df = df.assign(shard_id=df["shard_id"].astype(int))
+        if t.num_rows:
+            sid0 = t["shard_id"][0].as_py()
+            r0 = t["row_idx"][0].as_py()
+            # deterministic unique name per (shard, first-row): task
+            # retries overwrite their own partial file, never a peer's
+            name = f"part-s{sid0:06d}-r{r0:09d}.parquet"
+            _os.makedirs(self.out_dir, exist_ok=True)
+            pq.write_table(t, _os.path.join(self.out_dir, name))
+        df = pd.DataFrame(
+            {
+                "shard_id": t["shard_id"].to_numpy(zero_copy_only=False),
+                "success": t["success"].to_numpy(zero_copy_only=False),
+                "processing_ms": t["processing_ms"].to_numpy(zero_copy_only=False),
+                "content_hash": t["content_hash"].to_pylist(),
+                "row_idx": t["row_idx"].to_numpy(zero_copy_only=False),
+            }
+        )
         rows = []
         for sid, g in df.groupby("shard_id"):
             rows.append(
@@ -231,13 +258,28 @@ def _write_wave_manifest(
                     "row_max": int(g["row_idx"].max()),
                 }
             )
-        return pd.DataFrame(rows)
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {
+                "shard_id": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "n_success": pa.array([], pa.int64()),
+                "processing_ms": pa.array([], pa.int64()),
+                "hash_xor": pa.array([], pa.string()),
+                "row_min": pa.array([], pa.int64()),
+                "row_max": pa.array([], pa.int64()),
+            }
+        )
 
-    # partial per-batch stats → tiny driver-side combine — the metric
-    # columns are a few bytes/row; row data itself is never shuffled
-    partials = stats.map_batches(per_batch, batch_format="pandas").to_pandas()
-    grouped = partials.groupby("shard_id")
-    for sid, g in grouped:
+
+def _manifest_from_partials(
+    out_dir: str, wave_dir: str, shard_paths: list[str], wall_s: float, partials
+) -> None:
+    """Combine the writer's per-batch stats rows into one manifest
+    record per shard (SURVEY.md §7.4 hard part 4: records are written
+    only after the wave directory is durably renamed into place)."""
+    if partials.empty:
+        return
+    for sid, g in partials.groupby("shard_id"):
         rec = {
             "shard_id": int(sid),
             "path": shard_paths[int(sid)],

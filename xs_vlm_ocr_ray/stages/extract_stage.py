@@ -49,6 +49,44 @@ def spans_with_bbox(span_texts: list[str], confidence: float = HTML_ENGINE_CONFI
     ]
 
 
+def spans_column(all_span_texts: list[list[str]], confidence: float = HTML_ENGINE_CONFIDENCE) -> pa.ListArray:
+    """Vectorized spans list-of-struct column builder — flat arrays +
+    offsets instead of per-row Python dicts (the dict path measurably
+    dominated batch time on span-heavy documents)."""
+    import numpy as np
+
+    counts = np.fromiter((len(s) for s in all_span_texts), dtype=np.int64, count=len(all_span_texts))
+    offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    flat_texts: list[str] = []
+    for s in all_span_texts:
+        flat_texts.extend(s)
+    total = int(offsets[-1])
+    # per-row band coordinates, flattened
+    y0 = np.empty(total, dtype=np.float32)
+    y1 = np.empty(total, dtype=np.float32)
+    pos = 0
+    for c in counts:
+        if c:
+            band = np.arange(c, dtype=np.float32) / np.float32(c)
+            y0[pos : pos + c] = band
+            y1[pos : pos + c - 1] = band[1:]
+            y1[pos + c - 1] = 1.0
+            pos += c
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(flat_texts, pa.string()),
+            pa.array(np.zeros(total, dtype=np.float32)),
+            pa.array(y0),
+            pa.array(np.ones(total, dtype=np.float32)),
+            pa.array(y1),
+            pa.array(np.full(total, confidence, dtype=np.float32)),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+
 class HtmlExtractor:
     """Actor-pool batch kernel: pages batch in → results columns out.
 
@@ -93,7 +131,7 @@ class HtmlExtractor:
         success = [False] * n
         error = [""] * n
         texts = [""] * n
-        spans_col: list[list[dict]] = [[]] * n
+        all_spans: list[list[str]] = [[]] * n
         ms = [0] * n
         perf = time.perf_counter_ns
         for i, p in enumerate(payloads):
@@ -103,7 +141,7 @@ class HtmlExtractor:
             error[i] = err
             if ok:
                 if self.emit_spans:
-                    spans_col[i] = spans_with_bbox(span_texts)
+                    all_spans[i] = span_texts
                 # assembled full text: reading-order merge + final trim
                 # (byte-exact contract lives in extract.py / textnorm.py)
                 texts[i] = _assemble(span_texts)
@@ -113,7 +151,7 @@ class HtmlExtractor:
         cols: dict[str, pa.Array] = {"url": batch["url"]}
         cols["extracted_text"] = pa.array(texts, pa.large_string())
         if self.emit_spans:
-            cols["spans"] = pa.array(spans_col, pa.list_(SPAN_TYPE))
+            cols["spans"] = spans_column(all_spans)
         cols["success"] = pa.array(success, pa.bool_())
         cols["error"] = pa.array(error, pa.string())
         cols["engine"] = pa.array([self.ENGINE_ID] * n, pa.string())
