@@ -814,7 +814,13 @@ def q_media_image_features(sf_dir: str) -> pd.DataFrame:
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=2,
     )
-    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    # flatten the per-channel list columns to scalars (sortable/hashable
+    # for the driver's canonical compare)
+    for c in range(3):
+        df[f"mean_c{c}"] = df["chan_mean"].map(lambda v, c=c: float(v[c]) if len(v) > c else 0.0)
+        df[f"std_c{c}"] = df["chan_std"].map(lambda v, c=c: float(v[c]) if len(v) > c else 0.0)
+    return df.drop(columns=["chan_mean", "chan_std"])
 
 
 def q_media_audio_features(sf_dir: str) -> pd.DataFrame:
