@@ -1,0 +1,63 @@
+"""Row-level retry policy (SURVEY.md M19 / §4.1 "Retries: design").
+
+The reference makes ONE attempt per row and only classifies the error
+(src/adapters/QwenAdapter.cpp:341-462); Ray retries whole tasks, not
+rows. This wrapper closes the gap: rows whose in-band ``error_kind`` is
+transient (``retryable`` column — timeouts, transport) are re-run
+*inside the same task* against an escalated engine configuration (e.g.
+a longer ``row_timeout_ms``), up to ``max_attempts``. Deterministic
+failures (parse, input, auth) are never retried — they would fail
+identically again.
+
+In-task escalation keeps the pattern scalable: no second pass over the
+corpus, no re-read of payloads, no extra shuffle; the retry touches
+only the (rare) failed rows already in memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class RetryingEngine:
+    """Wraps any engine class; usable anywhere the engine itself is
+    (task-pool instance or actor-pool class via fn_constructor_kwargs).
+    Emits the inner engine's schema plus an ``attempts`` column."""
+
+    def __init__(
+        self,
+        engine_cls: type,
+        engine_kwargs: dict | None = None,
+        retry_overrides: dict | None = None,
+        max_attempts: int = 2,
+    ):
+        engine_kwargs = dict(engine_kwargs or {})
+        self.engines = [engine_cls(**engine_kwargs)]
+        esc = {**engine_kwargs, **(retry_overrides or {})}
+        for _ in range(1, max_attempts):
+            self.engines.append(engine_cls(**esc))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.engines[0](batch)
+        attempts = np.ones(out.num_rows, dtype=np.int32)
+        for eng in self.engines[1:]:
+            if "retryable" not in out.column_names:
+                break
+            mask = out["retryable"].to_numpy(zero_copy_only=False)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                break
+            sub = batch.take(idx)
+            fixed = eng(sub)
+            attempts[idx] += 1
+            # patch the retried rows into the batch output
+            cols = {}
+            for name in out.column_names:
+                vals = out[name].to_pylist()
+                fvals = fixed[name].to_pylist()
+                for j, i in enumerate(idx):
+                    vals[int(i)] = fvals[j]
+                cols[name] = pa.array(vals, out.schema.field(name).type)
+            out = pa.table(cols)
+        return out.append_column("attempts", pa.array(attempts))

@@ -228,6 +228,65 @@ ORDER BY c_mktsegment
 """
 
 
+def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    """Substring filter (LIKE, M-string family) + grouped agg over part."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_type", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_type"], "PROMO"))
+        g = t.group_by("p_brand").aggregate(
+            [("p_retailprice", "sum"), ("p_retailprice", "count")]
+        )
+        return g.rename_columns(["p_brand", "price_sum", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    df = (
+        partials.groupby("p_brand")
+        .aggregate(Sum("price_sum", alias_name="total_price"), Sum("n", alias_name="n_parts"))
+        .to_pandas()
+    )
+    df["total_price"] = df["total_price"].round(2)
+    return df.sort_values("p_brand").reset_index(drop=True)
+
+
+_PART_BRAND_SQL = """
+SELECT p_brand, ROUND(SUM(p_retailprice), 2) AS total_price, COUNT(*) AS n_parts
+FROM part WHERE p_type LIKE '%PROMO%'
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation broadcast join (J1 pattern, small dim side)."""
+    nmap = {
+        n["n_nationkey"]: n["n_name"]
+        for n in pq.read_table(_p(sf_dir, "nation")).to_pylist()
+    }
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = [nmap[int(k)] for k in t["s_nationkey"].to_numpy(zero_copy_only=False)]
+        t2 = pa.table({"n_name": pa.array(names, pa.string()), "s_acctbal": t["s_acctbal"]})
+        g = t2.group_by("n_name").aggregate([("s_acctbal", "sum"), ("s_acctbal", "count")])
+        return g.rename_columns(["n_name", "bal_sum", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    df = (
+        partials.groupby("n_name")
+        .aggregate(Sum("bal_sum", alias_name="total_acctbal"), Sum("n", alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    df["total_acctbal"] = df["total_acctbal"].round(2)
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+_SUPPLIER_NATION_SQL = """
+SELECT n_name, ROUND(SUM(s_acctbal), 2) AS total_acctbal, COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # History-style queries over `events` (reference O1/O2/O3/A1/J4,
 # HistoryManager.cpp:117-229, 330-363, 466-508)
@@ -964,6 +1023,66 @@ def extract_pages_vlm(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def extract_pages_retry(sf_dir: str) -> pd.DataFrame:
+    """Stub-VLM engine under the row-level retry policy: tiny first
+    timeout forces giant docs to time out, escalation heals them
+    (M19; rows-only — invariants pytest-gated, tests/test_retry.py)."""
+    from ..engines.retry import RetryingEngine
+    from ..engines.vlm_stub import StubVlmExtractor
+    from .extract import build_extract_ds
+
+    pdir = pages_dir_for(sf_dir)
+    ds = build_extract_ds(
+        pdir,
+        engine_cls=RetryingEngine,
+        engine_kwargs={
+            "engine_cls": StubVlmExtractor,
+            "engine_kwargs": {
+                "params": {"api_key": "k", "api_host": "h"},
+                "row_timeout_ms": 5,
+            },
+            "retry_overrides": {"row_timeout_ms": 60_000},
+        },
+    )
+    df = ds.to_pandas()
+    return (
+        df[["url", "success", "error_kind", "attempts", "content_hash"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def q_results_store(sf_dir: str) -> pd.DataFrame:
+    """The S6/O1 analog over the engine's OWN results store: run the
+    flagship once (cached), read back via the manifest, then filtered
+    scan + sort + limit — the reference's history-page query against
+    its SQLite store (HistoryManager.cpp:153-229). Rows-only."""
+    import shutil
+
+    from .extract import read_results, run_extract
+
+    pdir = pages_dir_for(sf_dir)
+    out = pdir + "_results_store"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        run_extract(pdir, out, resume=False)
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = read_results(out, columns=["url", "success", "error", "content_hash"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(t["success"])
+
+    df = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return (
+        df[["url", "content_hash"]]
+        .sort_values("url")
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
 # --------------------------------------------------------------------------
 # registries
 
@@ -971,6 +1090,8 @@ QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q_broadcast_join": q_broadcast_join,
     "q_orders_join": q_orders_join,
+    "q_part_brand_stats": q_part_brand_stats,
+    "q_supplier_nation": q_supplier_nation,
     "q_filtered_count": q_filtered_count,
     "q_history_page": q_history_page,
     "q_history_page2": q_history_page2,
@@ -1003,12 +1124,16 @@ QUERIES = {
     "extract_pages": extract_pages,
     "extract_pages_vlm": extract_pages_vlm,
     "extract_pages_dedup": extract_pages_dedup,
+    "extract_pages_retry": extract_pages_retry,
+    "q_results_store": q_results_store,
 }
 
 ORACLE_SQL = {
     "q1_lineitem_agg": _Q1_SQL,
     "q_broadcast_join": _BROADCAST_JOIN_SQL,
     "q_orders_join": _ORDERS_JOIN_SQL,
+    "q_part_brand_stats": _PART_BRAND_SQL,
+    "q_supplier_nation": _SUPPLIER_NATION_SQL,
     "q_filtered_count": _FILTERED_COUNT_SQL,
     "q_history_page": _HISTORY_PAGE_SQL,
     "q_history_page2": _HISTORY_PAGE2_SQL,
