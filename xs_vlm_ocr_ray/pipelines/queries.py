@@ -1052,6 +1052,24 @@ def extract_pages_retry(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def extract_pages_scatter(sf_dir: str) -> pd.DataFrame:
+    """Giant-doc scatter path: split at scanner-neutral cut points →
+    actor-pool-scattered segment extraction → ordered reassembly.
+    Byte-identity vs the direct pipeline is pytest-gated
+    (tests/test_scatter.py); rows-only here."""
+    from .scatter import build_scatter_extract_ds
+
+    pdir = pages_dir_for(sf_dir)
+    df = build_scatter_extract_ds(
+        pdir, threshold_bytes=64 << 10, segment_bytes=32 << 10
+    ).to_pandas()
+    return (
+        df[["url", "extracted_text", "success", "error", "content_hash", "n_segs"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 def q_results_store(sf_dir: str) -> pd.DataFrame:
     """The S6/O1 analog over the engine's OWN results store: run the
     flagship once (cached), read back via the manifest, then filtered
@@ -1125,6 +1143,7 @@ QUERIES = {
     "extract_pages_vlm": extract_pages_vlm,
     "extract_pages_dedup": extract_pages_dedup,
     "extract_pages_retry": extract_pages_retry,
+    "extract_pages_scatter": extract_pages_scatter,
     "q_results_store": q_results_store,
 }
 
