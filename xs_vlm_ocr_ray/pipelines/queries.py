@@ -675,9 +675,8 @@ def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = docs.map_batches(
-        MinHasher, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=2
-    )
+    # cheap-init kernel → task-pool instance (no actor CPU reservation)
+    sigs = docs.map_batches(MinHasher(), batch_format="pyarrow")
     bands = lsh_band_rows(sigs)
     pairs = lsh_candidate_pairs(bands)
     verified = verify_pairs_jaccard(docs, pairs, threshold=0.5)
@@ -757,9 +756,7 @@ def q_doc_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import SimHasher
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = docs.map_batches(
-        SimHasher, fn_constructor_kwargs={}, batch_format="pyarrow", concurrency=2
-    )
+    out = docs.map_batches(SimHasher(), batch_format="pyarrow")
     return out.to_pandas()
 
 

@@ -166,31 +166,62 @@ def lsh_band_rows(
 
 
 def lsh_candidate_pairs(
-    band_ds: rd.Dataset, id_col: str = "doc_id", max_bucket: int = 64
+    band_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+    coarse_buckets: int = 1024,
 ) -> pd.DataFrame:
-    """groupby LSH buckets → unique candidate pairs (small result,
-    driver-side). Buckets larger than ``max_bucket`` are skew-guarded:
-    dropped with an in-band count (column ``oversized``)."""
+    """LSH buckets → unique candidate pairs (small result, driver-side).
+    Buckets larger than ``max_bucket`` are skew-guarded: dropped with an
+    in-band count (``attrs['n_oversized_buckets']``).
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        if len(ids) > max_bucket:
-            return pd.DataFrame({"a": [-1], "b": [len(ids)]})  # oversized marker
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
+    The shuffle key is a COARSE hash prefix (``band_hash %
+    coarse_buckets``), not the raw bucket: Ray's ``map_groups`` pays
+    per-group Python overhead, and real corpora have ~docs×bands tiny
+    buckets — grouping coarsely and resolving the exact buckets with a
+    vectorized pandas groupby inside each coarse group cuts the group
+    count by orders of magnitude without changing the result."""
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        coarse = pc.cast(
+            pc.bit_wise_and(t["band_hash"], pa.scalar(coarse_buckets - 1, pa.uint64())), pa.int32()
+        )
+        return t.append_column("coarse", coarse)
+
+    def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        n_oversized = 0
+        for _, g in df.groupby(["band_id", "band_hash"]):
+            ids = sorted(g[id_col].unique())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                n_oversized += 1
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        if n_oversized:
+            out_a.append(-1)
+            out_b.append(n_oversized)
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+        )
 
     pairs = (
-        band_ds.groupby(["band_id", "band_hash"])
-        .map_groups(per_group, batch_format="pandas")
+        band_ds.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_coarse, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": []})
     oversized = pairs[pairs["a"] == -1]
     pairs = pairs[pairs["a"] != -1].drop_duplicates().reset_index(drop=True)
-    pairs.attrs["n_oversized_buckets"] = len(oversized)
+    pairs.attrs["n_oversized_buckets"] = int(oversized["b"].sum()) if len(oversized) else 0
     return pairs
 
 
@@ -274,20 +305,37 @@ def ngram_jaccard_pairs(
 
     postings = docs_ds.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_per_shingle(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        if max_posting is not None and len(ids) > max_posting:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+    def add_coarse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    pair_rows = postings.groupby("sh").map_groups(pairs_per_shingle, batch_format="pandas")
+        return t.append_column(
+            "coarse", pc.cast(pc.bit_wise_and(t["sh"], pa.scalar(4095, pa.uint64())), pa.int32())
+        )
+
+    def pairs_per_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse shuffle key (sh % 4096) + vectorized inner groupby:
+        # a corpus has ~docs × shingles distinct posting lists, far too
+        # many for per-group map_groups overhead
+        out_a, out_b = [], []
+        for _, g in df.groupby("sh"):
+            ids = sorted(g[id_col].unique())
+            if len(ids) < 2:
+                continue
+            if max_posting is not None and len(ids) > max_posting:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+        )
+
+    pair_rows = (
+        postings.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(pairs_per_coarse, batch_format="pandas")
+    )
     inter = (
         pair_rows.groupby(["a", "b"])
         .aggregate(Count(alias_name="i"))
@@ -392,26 +440,36 @@ def simhash_neardup_pairs(
 
     banded = sig.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        if len(df) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-                 "hamming": pd.Series([], dtype="int64")}
-            )
-        ids = df[id_col].to_numpy()
-        hs = df["simhash"].to_numpy().astype(np.uint64)
+    def add_coarse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "coarse", pc.cast(pc.bit_wise_and(t["band_val"], pa.scalar(1023, pa.uint64())), pa.int32())
+        )
+
+    def pairs_per_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse shuffle key + vectorized inner groupby (see
+        # lsh_candidate_pairs for rationale)
         out = []
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(d <= max_hamming)[0]:
-                out.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+        for _, g in df.groupby(["band_id", "band_val"]):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1 :]
+                d = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(d <= max_hamming)[0]:
+                    out.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
+        return pd.DataFrame(out, columns=["a", "b", "hamming"]).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"}
+        )
 
     pairs = (
-        banded.groupby(["band_id", "band_val"])
-        .map_groups(pairs_per_bucket, batch_format="pandas")
+        banded.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(pairs_per_coarse, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:
