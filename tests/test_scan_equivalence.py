@@ -109,3 +109,25 @@ def test_scan_equivalent_to_regex_reference(pieces):
 @given(st.text(alphabet="<>!-/ab \n", min_size=0, max_size=80))
 def test_scan_equivalent_on_raw_tag_soup(doc):
     assert _scan(doc) == _scan_reference(doc)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(_WORD, _TAG), min_size=0, max_size=80),
+       st.integers(min_value=8, max_value=200))
+def test_split_extraction_equals_whole_property(pieces, max_bytes):
+    """split_html's exactness guarantee under random tag soup: the
+    concatenation of per-segment extractions equals the whole-document
+    extraction (SURVEY.md §7.4 hard part / skew path)."""
+    from xs_vlm_ocr_ray.extract import extract_html, split_html
+
+    payload = "".join(pieces).encode("utf-8")
+    whole = extract_html(payload)
+    segs = split_html(payload, max_bytes)
+    assert b"".join(segs) == payload  # lossless re-concatenation
+    texts = []
+    for s in segs:
+        r = extract_html(s)
+        assert r.success == whole.success
+        texts.extend(r.span_texts)
+    if whole.success:
+        assert texts == whole.span_texts

@@ -82,12 +82,18 @@ class _RowGroupReader:
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for item in batch.to_pylist():
             f = pq.ParquetFile(item["path"])
-            t = f.read_row_group(item["row_group"], columns=self.columns)
-            n = t.num_rows
             base = item["row_start"]
             shard = item["shard_id"]
-            for off in range(0, n, self.slice_rows):
-                chunk = t.slice(off, self.slice_rows)
+            off = 0
+            # stream the row group in slices — a multi-GB row group never
+            # materializes whole in the reader's heap (bounded memory,
+            # backpressure-friendly yields)
+            for rb in f.iter_batches(
+                batch_size=self.slice_rows,
+                row_groups=[item["row_group"]],
+                columns=self.columns,
+            ):
+                chunk = pa.Table.from_batches([rb])
                 m = chunk.num_rows
                 chunk = chunk.append_column(
                     "shard_id", pa.array([shard] * m, pa.int32())
@@ -96,6 +102,7 @@ class _RowGroupReader:
                     "row_idx",
                     pa.array(range(base + off, base + off + m), pa.int64()),
                 )
+                off += m
                 yield chunk
 
 
