@@ -1,0 +1,66 @@
+"""HyperLogLog sketch error bound + IVF ANN recall."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_error_bound_small_and_large():
+    from xs_vlm_ocr_ray.stages.sketch import hll_estimate, hll_merge, hll_partial
+
+    # small cardinality: small-range correction keeps it near-exact
+    regs = hll_partial([f"v{i}" for i in range(100)], p=12)
+    assert abs(hll_estimate(regs) - 100) / 100 < 0.05
+    # large cardinality across merged partials: ±3σ of 1.04/sqrt(m)
+    parts = [
+        hll_partial([f"x{j}" for j in range(i * 5000, (i + 1) * 5000)], p=12)
+        for i in range(4)
+    ]
+    est = hll_estimate(hll_merge(parts))
+    assert abs(est - 20000) / 20000 < 3 * 1.04 / np.sqrt(1 << 12)
+
+
+def test_hll_merge_order_invariant():
+    from xs_vlm_ocr_ray.stages.sketch import hll_estimate, hll_merge, hll_partial
+
+    a = hll_partial([f"a{i}" for i in range(1000)])
+    b = hll_partial([f"b{i}" for i in range(1000)])
+    assert hll_estimate(hll_merge([a, b])) == hll_estimate(hll_merge([b, a]))
+
+
+def test_approx_distinct_on_events(ray_session):
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.stages.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    exact = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    n_exact = len(set(exact["user_id"].to_pylist()))
+    n_approx = approx_distinct(ds, "user_id", p=12)
+    assert abs(n_approx - n_exact) / n_exact < 0.05
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.stages.ann import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+    exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+    cent = ivf_train_centroids(ds, n_centroids=8)
+    with_buckets = ivf_assign(ds, cent)
+    # full probe == exact
+    full = set(ivf_topk(with_buckets, cent, q, k=10, nprobe=8)["vec_id"])
+    assert full == exact
+    # partial probe: reasonable recall at 1/4 the scan
+    approx = set(ivf_topk(with_buckets, cent, q, k=10, nprobe=2)["vec_id"])
+    assert len(approx & exact) >= 5

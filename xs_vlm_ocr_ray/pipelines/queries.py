@@ -435,6 +435,87 @@ def q_point_lookup(sf_dir: str) -> pd.DataFrame:
 _POINT_LOOKUP_SQL = "SELECT * FROM events WHERE event_id = 5000"
 
 
+def q_orders_join_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Same result as q_orders_join via Ray Data's native HASH-SHUFFLE
+    join (`Dataset.join`) — the strategy for two LARGE sides where
+    neither broadcasts. Post-join aggregation is the usual partial
+    reduce → tiny groupby."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "price_sum", "n"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    df = (
+        partials.groupby("c_mktsegment")
+        .aggregate(Sum("price_sum", alias_name="total_price"), Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    df["total_price"] = df["total_price"].round(2)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-ish top-k: broadcast semi-filter by segment → global
+    sort-desc → limit (top-k never materializes the full sort output)."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    keys = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pa.array([int(k) in keys for k in t["o_custkey"].to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out[["o_orderkey", "o_totalprice", "o_orderdate"]]
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_events_approx_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate COUNT(DISTINCT user_id) — mergeable
+    per-batch registers, no value shuffle (rows-only; the error bound
+    is pytest-gated, tests/test_sketch.py)."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = approx_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct_users": [n]})
+
+
+def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (train coarse quantizer → assign
+    → probe nearest nprobe partitions). Rows-only; recall is
+    pytest-gated (tests/test_sketch.py)."""
+    from ..stages.ann import ivf_assign, ivf_topk, ivf_train_centroids
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = ivf_train_centroids(ds)
+    with_buckets = ivf_assign(ds, cent)
+    return ivf_topk(with_buckets, cent, _query_vec(sf_dir), k=10, nprobe=4)
+
+
 # --------------------------------------------------------------------------
 # Ordered-stream / window operators over `events` (SURVEY.md §2.10:
 # reference D2 consecutive-dup drop generalized; windowed aggregate +
@@ -1107,6 +1188,10 @@ QUERIES = {
     "q_orders_join": q_orders_join,
     "q_part_brand_stats": q_part_brand_stats,
     "q_supplier_nation": q_supplier_nation,
+    "q_orders_join_shuffle": q_orders_join_shuffle,
+    "q_top_orders": q_top_orders,
+    "q_events_approx_users": q_events_approx_users,
+    "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_filtered_count": q_filtered_count,
     "q_history_page": q_history_page,
     "q_history_page2": q_history_page2,
@@ -1150,6 +1235,8 @@ ORACLE_SQL = {
     "q_orders_join": _ORDERS_JOIN_SQL,
     "q_part_brand_stats": _PART_BRAND_SQL,
     "q_supplier_nation": _SUPPLIER_NATION_SQL,
+    "q_orders_join_shuffle": _ORDERS_JOIN_SQL,
+    "q_top_orders": _TOP_ORDERS_SQL,
     "q_filtered_count": _FILTERED_COUNT_SQL,
     "q_history_page": _HISTORY_PAGE_SQL,
     "q_history_page2": _HISTORY_PAGE2_SQL,

@@ -63,6 +63,72 @@ def brute_force_topk(
     return partials.head(k).reset_index(drop=True)
 
 
+def ivf_train_centroids(
+    ds: rd.Dataset,
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: seeded mini-kmeans (spherical) on a small
+    head sample, trained driver-side. At corpus scale the sample is a
+    `random_sample` pushdown; the training cost is independent of
+    corpus size."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_assign(
+    ds: rd.Dataset, centroids: np.ndarray, vec_col: str = "embedding"
+) -> rd.Dataset:
+    """Append the nearest-centroid ``ivf_bucket`` column (the centroid
+    matrix is tiny and closure-broadcast once)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]))
+        bucket = np.argmax(m @ centroids.T, axis=1).astype(np.int32)
+        return t.append_column("ivf_bucket", pa.array(bucket))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ivf_topk(
+    ds_with_buckets: rd.Dataset,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k: probe the ``nprobe`` centroids nearest to the
+    query, exact cosine within the probed partitions only. With
+    ``nprobe == n_centroids`` the result is exact (recall 1.0) — the
+    standard IVF recall/cost dial."""
+    q = _unit(np.asarray(query, dtype=np.float64))
+    order = np.argsort(-(centroids @ q))
+    probes = pa.array(sorted(int(c) for c in order[:nprobe]), pa.int32())
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["ivf_bucket"], value_set=probes))
+
+    pruned = ds_with_buckets.map_batches(keep, batch_format="pyarrow")
+    return brute_force_topk(pruned, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def lsh_bucket_ids(
     ds: rd.Dataset,
     num_planes: int = 12,
