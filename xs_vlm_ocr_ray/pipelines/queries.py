@@ -51,6 +51,12 @@ def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
     Ray-native pre-aggregation: each batch emits one row per
     (returnflag, linestatus) — the shuffle moves O(groups × batches)
     rows, not 600k.
+
+    Float caveat: money sums accumulate in float64 in different orders
+    here vs DuckDB; when a true sum lands within ~1e-3 of a half-cent
+    boundary the 2-dp rounding can differ by one cent (observed once at
+    sf0.001; sf0.01 — the driver's gate — matches). Inherent to
+    cross-engine float aggregation, not a logic bug.
     """
     ds = _read(
         sf_dir,
@@ -423,16 +429,17 @@ SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 50
 
 
 def q_point_lookup(sf_dir: str) -> pd.DataFrame:
-    """J4: point lookup WHERE id = k (HistoryManager.cpp:231-273)."""
+    """J4: point lookup WHERE id = k (HistoryManager.cpp:231-273).
+    Key 500 exists at every sf (events >= 1000 rows)."""
     ds = _read(sf_dir, "events")
 
     def fn(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["event_id"], 5000))
+        return t.filter(pc.equal(t["event_id"], 500))
 
     return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
 
 
-_POINT_LOOKUP_SQL = "SELECT * FROM events WHERE event_id = 5000"
+_POINT_LOOKUP_SQL = "SELECT * FROM events WHERE event_id = 500"
 
 
 def q_orders_join_shuffle(sf_dir: str) -> pd.DataFrame:
