@@ -1155,6 +1155,46 @@ def extract_pages_scatter(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def extract_pages_routed(sf_dir: str) -> pd.DataFrame:
+    """M1 payload router: mixed corpus (html + fake PDF/PNG payloads)
+    through the dual-engine routed pipeline — html rows via boilerplate
+    strip, binary rows via the layout/OCR engine (page segmentation →
+    reading-order sort → span assembly). Rows-only; invariants
+    pytest-gated (tests/test_routed.py)."""
+    import hashlib
+
+    from .routed import build_routed_extract_ds
+
+    base = pages_dir_for(sf_dir)
+    d = base + "_mixed"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        from ..fixtures import pages_table, sf_to_n_rows
+
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        n = min(sf_to_n_rows(_sf_from_dir(sf_dir)), 2000)
+        t = pages_table(range(n), seed=42)
+        html = t["html"].to_pylist()
+        for i in range(len(html)):
+            if i % 10 == 0:
+                html[i] = b"%PDF-1.4\n" + hashlib.blake2b(
+                    str(i).encode(), digest_size=32
+                ).digest()
+        t = t.set_column(2, "html", pa.array(html, pa.binary()))
+        pq.write_table(t, os.path.join(d, "shard-000.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    df = build_routed_extract_ds(d, emit_spans=False).to_pandas()
+    return (
+        df[["url", "extracted_text", "success", "error", "engine", "content_hash"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 def q_results_store(sf_dir: str) -> pd.DataFrame:
     """The S6/O1 analog over the engine's OWN results store: run the
     flagship once (cached), read back via the manifest, then filtered
@@ -1233,6 +1273,7 @@ QUERIES = {
     "extract_pages_dedup": extract_pages_dedup,
     "extract_pages_retry": extract_pages_retry,
     "extract_pages_scatter": extract_pages_scatter,
+    "extract_pages_routed": extract_pages_routed,
     "q_results_store": q_results_store,
 }
 
