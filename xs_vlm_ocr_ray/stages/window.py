@@ -24,7 +24,6 @@ built from Ray Data primitives with an explicit partitioning story:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
