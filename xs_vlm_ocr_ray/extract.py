@@ -186,7 +186,8 @@ def _scan(doc: str) -> list[str]:
             pos = pos_next
             continue
         if name in _BLOCK_TAGS:
-            flush()
+            if buf:
+                flush()
             if name in _BOILER_TAGS:
                 if closing:
                     if boiler_depth > 0:
@@ -201,7 +202,8 @@ def _scan(doc: str) -> list[str]:
                 a_depth += 1
         pos = pos_next
         # other inline tags: transparent
-    flush()
+    if buf:
+        flush()
     return spans
 
 
