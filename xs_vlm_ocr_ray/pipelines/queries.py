@@ -721,6 +721,21 @@ FROM documents
 """
 
 
+def q_doc_token_bpeish(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish token counting (words + punctuation marks; the prompt's
+    second tokenizer). Python \\w is Unicode, DuckDB RE2's is ASCII →
+    not SQL-expressible for zh docs; rows-only."""
+    from ..functions.textstats import token_count_bpeish
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        counts = [token_count_bpeish(x or "") for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "n_tokens_bpeish": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
 def q_unique_langs(sf_dir: str) -> pd.DataFrame:
     """Distinct values (ds.unique analog of SELECT DISTINCT)."""
     ds = _read(sf_dir, "documents", ["lang"])
@@ -1195,6 +1210,22 @@ def extract_pages_routed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def training_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Composite curation pipeline: routed extraction → annotate
+    (langid/quality/tokens/fingerprint) → quality+length filter →
+    exact dedup → curated rows. Rows-only; gate invariants pytest-gated
+    (tests/test_training.py)."""
+    from .training import build_training_ds
+
+    pdir = pages_dir_for(sf_dir)
+    df = build_training_ds(pdir).to_pandas()
+    return (
+        df[["url", "lang_pred", "quality", "n_tokens", "text_hash", "engine"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 def q_results_store(sf_dir: str) -> pd.DataFrame:
     """The S6/O1 analog over the engine's OWN results store: run the
     flagship once (cached), read back via the manifest, then filtered
@@ -1252,6 +1283,7 @@ QUERIES = {
     "q_char_metric": q_char_metric,
     "q_doc_preview": q_doc_preview,
     "q_doc_token_count": q_doc_token_count,
+    "q_doc_token_bpeish": q_doc_token_bpeish,
     "q_doc_charstats": q_doc_charstats,
     "q_unique_langs": q_unique_langs,
     "q_doc_exact_dedup": q_doc_exact_dedup,
@@ -1274,6 +1306,7 @@ QUERIES = {
     "extract_pages_retry": extract_pages_retry,
     "extract_pages_scatter": extract_pages_scatter,
     "extract_pages_routed": extract_pages_routed,
+    "training_pipeline": training_pipeline,
     "q_results_store": q_results_store,
 }
 
