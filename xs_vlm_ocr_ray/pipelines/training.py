@@ -72,11 +72,26 @@ def build_training_ds(
             "text_hash", keep="first"
         )
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["shard_id", "row_idx"], kind="mergesort").head(1)
+    def add_coarse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    pre = filtered.map_batches(within_batch, batch_format="pandas")
-    return pre.groupby("text_hash").map_groups(per_group, batch_format="pandas")
+        # coarse shuffle key: hash prefix (4096 groups). All rows of a
+        # given text_hash share the prefix, so the within-group pandas
+        # dedup is exact — and Ray's per-group map_groups overhead is
+        # paid 4096 times, not once per distinct document.
+        return t.append_column("hash_coarse", pc.utf8_slice_codeunits(t["text_hash"], 0, 3))
+
+    def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["shard_id", "row_idx"], kind="mergesort")
+            .drop_duplicates("text_hash", keep="first")
+            .drop(columns=["hash_coarse"])
+        )
+
+    pre = filtered.map_batches(within_batch, batch_format="pandas").map_batches(
+        add_coarse, batch_format="pyarrow"
+    )
+    return pre.groupby("hash_coarse").map_groups(per_coarse, batch_format="pandas")
 
 
 def run_training_pipeline(
@@ -86,7 +101,11 @@ def run_training_pipeline(
     min_tokens: int = 20,
 ) -> dict:
     """Execute; optionally write curated parquet. Returns gate counts."""
-    total = build_routed_extract_ds(sf_dir_or_paths, emit_spans=False).count()
+    from ..sources.pages import read_pages
+
+    # input count from a column-pruned read — never re-run extraction
+    # just to count its input
+    total = read_pages(sf_dir_or_paths, columns=["url"]).count()
     ds = build_training_ds(sf_dir_or_paths, min_quality, min_tokens)
     if out_dir is not None:
         ds.write_parquet(out_dir)
