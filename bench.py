@@ -82,6 +82,13 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             QUERIES[name](SF_DIR)
             q_times[name] = round(time.perf_counter() - t0, 3)
+        # composite curation pipeline (routed extract → annotate →
+        # filter → dedup → count), streaming end-to-end
+        from xs_vlm_ocr_ray.pipelines.training import run_training_pipeline
+
+        t0 = time.perf_counter()
+        run_training_pipeline(pages_dir)
+        q_times["training_pipeline"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "flagship extraction wall-clock (read→extract→write→manifest)",
