@@ -595,6 +595,41 @@ ORDER BY ts, event_id
 # Documents: scans, counts, previews, char metrics (A1/A2/M20)
 
 
+def q_set_ops(sf_dir: str) -> pd.DataFrame:
+    """§2.8 set ops (union / intersect / except) over distinct user ids
+    of two time slices — distinct sets computed distributed
+    (per-batch partial dedup → unique), set algebra on the small
+    results."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    lo = pa.scalar(_TS_LO, pa.timestamp("us"))
+    hi = pa.scalar(_TS_HI, pa.timestamp("us"))
+
+    def first_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["ts"], lo)).select(["user_id"])
+
+    def second_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["ts"], hi)).select(["user_id"])
+
+    a = set(ds.map_batches(first_half, batch_format="pyarrow").unique("user_id"))
+    b = set(ds.map_batches(second_half, batch_format="pyarrow").unique("user_id"))
+    return pd.DataFrame(
+        {
+            "n_union": [len(a | b)],
+            "n_intersect": [len(a & b)],
+            "n_except": [len(a - b)],
+        }
+    )
+
+
+_SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-10'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-20')
+SELECT (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))     AS n_union,
+       (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersect,
+       (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))    AS n_except
+"""
+
+
 def q_doc_keyword_count(sf_dir: str) -> pd.DataFrame:
     """A1 over documents: keyword LIKE filter + count by lang."""
     ds = _read(sf_dir, "documents", ["text", "lang"])
@@ -1279,6 +1314,7 @@ QUERIES = {
     "q_events_window_daily": q_events_window_daily,
     "q_events_sessions": q_events_sessions,
     "q_events_drop_consecutive": q_events_drop_consecutive,
+    "q_set_ops": q_set_ops,
     "q_doc_keyword_count": q_doc_keyword_count,
     "q_char_metric": q_char_metric,
     "q_doc_preview": q_doc_preview,
@@ -1327,6 +1363,7 @@ ORACLE_SQL = {
     "q_events_window_daily": _WINDOW_DAILY_SQL,
     "q_events_sessions": _SESSIONS_SQL,
     "q_events_drop_consecutive": _DROP_CONSEC_SQL,
+    "q_set_ops": _SET_OPS_SQL,
     "q_doc_keyword_count": _DOC_KEYWORD_SQL,
     "q_char_metric": _CHAR_METRIC_SQL,
     "q_doc_preview": _DOC_PREVIEW_SQL,
