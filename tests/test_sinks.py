@@ -61,3 +61,22 @@ def test_write_results_csv_distributed(ray_session, tiny_pages_dir, tmp_path):
     # extracted text with embedded newlines survives the CSV round-trip
     ok = df[df["success"] == True]  # noqa: E712
     assert (ok["extracted_text"].str.len() > 0).any()
+
+
+def test_write_results_jsonl(ray_session, tiny_pages_dir, tmp_path):
+    import glob
+    import json
+    import os
+
+    from xs_vlm_ocr_ray.pipelines.extract import build_extract_ds
+    from xs_vlm_ocr_ray.sinks.export import write_results_jsonl
+
+    ds = build_extract_ds(tiny_pages_dir, engine_kwargs={"emit_spans": False})
+    out = str(tmp_path / "jsonl_out")
+    write_results_jsonl(ds, out)
+    rows = []
+    for f in glob.glob(os.path.join(out, "*.json")):
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    assert len(rows) == 200
+    assert {"url", "extracted_text", "success"} <= set(rows[0])

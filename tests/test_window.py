@@ -71,3 +71,11 @@ def test_tumbling_window_counts(events_ds, events_df):
     m = got.merge(want, on=["window", "event_type"], how="outer")
     assert len(m) == len(got) == len(want)
     assert (m["n"] == m["n_want"]).all()
+
+
+def test_seeded_sample_deterministic(events_ds):
+    a = events_ds.random_sample(0.1, seed=42).to_pandas()
+    b = events_ds.random_sample(0.1, seed=42).to_pandas()
+    assert sorted(a["event_id"]) == sorted(b["event_id"])
+    n = events_ds.count()
+    assert 0.04 * n < len(a) < 0.2 * n

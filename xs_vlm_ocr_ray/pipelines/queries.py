@@ -595,6 +595,16 @@ ORDER BY ts, event_id
 # Documents: scans, counts, previews, char metrics (A1/A2/M20)
 
 
+def q_events_sample(sf_dir: str) -> pd.DataFrame:
+    """Seeded distributed sampling (§2.7 — absent in the reference,
+    free in Ray Data). Rows-only: the sample is deterministic for a
+    fixed (seed, block layout) but not SQL-reproducible; the test
+    asserts determinism and fraction bounds."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    out = ds.random_sample(0.1, seed=42).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_set_ops(sf_dir: str) -> pd.DataFrame:
     """§2.8 set ops (union / intersect / except) over distinct user ids
     of two time slices — distinct sets computed distributed
@@ -1315,6 +1325,7 @@ QUERIES = {
     "q_events_sessions": q_events_sessions,
     "q_events_drop_consecutive": q_events_drop_consecutive,
     "q_set_ops": q_set_ops,
+    "q_events_sample": q_events_sample,
     "q_doc_keyword_count": q_doc_keyword_count,
     "q_char_metric": q_char_metric,
     "q_doc_preview": q_doc_preview,

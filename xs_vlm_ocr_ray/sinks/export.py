@@ -52,6 +52,13 @@ def write_results_csv(ds: rd.Dataset, out_dir: str) -> None:
     ds.select_columns(cols).write_csv(out_dir)
 
 
+def write_results_jsonl(ds: rd.Dataset, out_dir: str) -> None:
+    """Distributed JSONL export (one object per row) — the standard
+    interchange format for curated text corpora."""
+    cols = [c for c in _CSV_COLS if c in ds.schema().names]
+    ds.select_columns(cols).write_json(out_dir)
+
+
 # --- single-result exports (driver-side, reference-exact) ----------------
 
 _UTF8_BOM = b"\xef\xbb\xbf"
