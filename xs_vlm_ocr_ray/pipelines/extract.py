@@ -188,30 +188,44 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     through its committed SQLite table, HistoryManager.cpp:153-229).
     """
     man = load_manifest(out_dir)
-    by_wave: dict[str, set[int]] = {}
-    for sid, rec in man.items():
-        by_wave.setdefault(rec["wave_dir"], set()).add(sid)
-    parts: list[rd.Dataset] = []
-    for wd, sids in sorted(by_wave.items()):
-        cols = columns
-        if cols is not None and "shard_id" not in cols:
-            cols = list(cols) + ["shard_id"]
-        ds = rd.read_parquet(wd, columns=cols)
-        wanted = {str(s) for s in sids}
-
-        def keep(t: pa.Table, _wanted=wanted) -> pa.Table:
-            import pyarrow.compute as pc
-
-            sid_col = pc.cast(t["shard_id"], pa.string())
-            return t.filter(pc.is_in(sid_col, value_set=pa.array(_wanted)))
-
-        parts.append(ds.map_batches(keep, batch_format="pyarrow"))
-    if not parts:
+    if not man:
         return rd.from_items([])
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+    # (wave_dir, shard_id) pairs authorized by the manifest — ONE read
+    # over all wave dirs + a broadcast-set filter on (file's wave dir,
+    # row's shard_id), instead of a per-wave union chain (O(waves)
+    # operators would bloat the plan on a long-running dataset).
+    authorized = {(rec["wave_dir"], sid) for sid, rec in man.items()}
+    wave_dirs = sorted({rec["wave_dir"] for rec in man.values()})
+    files = [
+        os.path.join(wd, f)
+        for wd in wave_dirs
+        for f in sorted(os.listdir(wd))
+        if f.endswith(".parquet")
+    ]
+    cols = columns
+    if cols is not None and "shard_id" not in cols:
+        cols = list(cols) + ["shard_id"]
+    ds = rd.read_parquet(files, columns=cols, include_paths=True)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import os as _os
+
+        import numpy as np
+
+        paths = t["path"].to_pylist()
+        sids = t["shard_id"].to_pylist()
+        mask = np.fromiter(
+            (
+                (_os.path.dirname(p), int(s)) in authorized
+                for p, s in zip(paths, sids)
+            ),
+            dtype=bool,
+            count=len(paths),
+        )
+        out = t.filter(pa.array(mask))
+        return out.drop_columns(["path"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 class _ShardWriter:
