@@ -48,16 +48,15 @@ class RetryingEngine:
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 break
-            sub = batch.take(idx)
-            fixed = eng(sub)
+            fixed = eng(batch.take(idx))
             attempts[idx] += 1
-            # patch the retried rows into the batch output
-            cols = {}
-            for name in out.column_names:
-                vals = out[name].to_pylist()
-                fvals = fixed[name].to_pylist()
-                for j, i in enumerate(idx):
-                    vals[int(i)] = fvals[j]
-                cols[name] = pa.array(vals, out.schema.field(name).type)
-            out = pa.table(cols)
+            # patch via concat + positional take — no Python round-trip
+            # of the unretried rows (they carry the large text payloads)
+            keep_idx = np.nonzero(~mask)[0]
+            merged = pa.concat_tables(
+                [out.take(keep_idx), fixed.select(out.column_names)]
+            )
+            # merged row j came from original position order[j]; invert
+            order = np.concatenate([keep_idx, idx])
+            out = merged.take(pa.array(np.argsort(order)))
         return out.append_column("attempts", pa.array(attempts))

@@ -235,7 +235,20 @@ def split_html(payload: bytes, max_bytes: int) -> list[bytes]:
     a_depth = 0
     suppress: str | None = None
     has_text = False
-    last_cut = 0
+    # segment size is measured in encoded BYTES (the contract), not
+    # characters — a CJK-heavy doc is ~3 bytes/char and would otherwise
+    # produce segments ~3x over budget. Byte length is accumulated
+    # incrementally (each slice encoded once → O(n) total).
+    acc_bytes = 0
+    acc_pos = 0
+
+    def bytes_to(pos: int) -> int:
+        nonlocal acc_bytes, acc_pos
+        if pos > acc_pos:
+            acc_bytes += len(doc[acc_pos:pos].encode("utf-8"))
+            acc_pos = pos
+        return acc_bytes
+
     for m in _TOKEN_RE.finditer(doc):
         tok = m.group(0)
         if tok[0] != "<":
@@ -258,12 +271,12 @@ def split_html(payload: bytes, max_bytes: int) -> list[bytes]:
             and not has_text
             and boiler_depth == 0
             and a_depth == 0
-            and m.start() - last_cut >= max_bytes
             and m.start() > 0
+            and bytes_to(m.start()) >= max_bytes
         ):
-            # cut BEFORE this tag; byte offset = utf-8 length of prefix
+            # cut BEFORE this tag
             cuts.append(m.start())
-            last_cut = m.start()
+            acc_bytes = 0
         if name in _SUPPRESS_TAGS:
             if not closing and not tok.endswith("/>"):
                 suppress = name

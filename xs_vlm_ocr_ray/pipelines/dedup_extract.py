@@ -44,20 +44,6 @@ from ..sources.pages import read_pages
 
 ENGINE_ID = "local_html"
 
-_UNION_COLS = [
-    "dedup_key",
-    "content_hash",
-    "url",
-    "shard_id",
-    "row_idx",
-    "html",
-    "kind",
-    "cached_text",
-    "cached_success",
-    "cached_error",
-]
-
-
 def _hash_and_collapse(prompt: str, params: dict[str, str] | None):
     """Stateless kernel: append hashes; null out payloads of within-batch
     duplicate rows (the pre-shuffle partial collapse)."""

@@ -113,6 +113,10 @@ def run_extract(
 
     Returns a summary dict (rows, successes, wall seconds, waves run).
     """
+    # absolutize: the writer stage runs in Ray WORKER processes whose
+    # cwd differs from the driver's — a relative out_dir would scatter
+    # files under the workers' cwd and leave the renamed wave dir empty
+    out_dir = os.path.abspath(out_dir)
     paths = list_shards(sf_dir)
     done = completed_shards(out_dir) if resume else set()
     pending = [sid for sid in range(len(paths)) if sid not in done]
@@ -165,7 +169,7 @@ def run_extract(
         ).to_pandas()
         os.replace(tmp_dir, wave_dir)
         wall = time.perf_counter() - t0
-        _manifest_from_partials(out_dir, wave_dir, paths, wall, partials)
+        _manifest_from_partials(out_dir, wave_dir, paths, wall, partials, wave)
     total_wall = time.perf_counter() - t_start
     man = load_manifest(out_dir)
     return {
@@ -194,8 +198,22 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     # over all wave dirs + a broadcast-set filter on (file's wave dir,
     # row's shard_id), instead of a per-wave union chain (O(waves)
     # operators would bloat the plan on a long-running dataset).
-    authorized = {(rec["wave_dir"], sid) for sid, rec in man.items()}
-    wave_dirs = sorted({rec["wave_dir"] for rec in man.values()})
+    # authorize by (wave NAME, shard_id) — wave names are unique within
+    # an out_dir, and names survive path normalization (read_parquet may
+    # absolutize paths) and out_dir relocation, unlike full dir strings
+    authorized = {
+        (os.path.basename(rec["wave_dir"]), sid) for sid, rec in man.items()
+    }
+    # re-root wave dirs under the CALLER's out_dir (wave names are
+    # unique within it) — robust to a relocated/renamed output tree and
+    # to manifests written with a different cwd
+    wave_dirs = sorted(
+        {
+            os.path.join(os.path.abspath(out_dir), "results",
+                         os.path.basename(rec["wave_dir"]))
+            for rec in man.values()
+        }
+    )
     files = [
         os.path.join(wd, f)
         for wd in wave_dirs
@@ -216,7 +234,7 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
         sids = t["shard_id"].to_pylist()
         mask = np.fromiter(
             (
-                (_os.path.dirname(p), int(s)) in authorized
+                (_os.path.basename(_os.path.dirname(p)), int(s)) in authorized
                 for p, s in zip(paths, sids)
             ),
             dtype=bool,
@@ -286,11 +304,27 @@ class _ShardWriter:
 
 
 def _manifest_from_partials(
-    out_dir: str, wave_dir: str, shard_paths: list[str], wall_s: float, partials
+    out_dir: str, wave_dir: str, shard_paths: list[str], wall_s: float,
+    partials, wave_shard_ids: list[int],
 ) -> None:
     """Combine the writer's per-batch stats rows into one manifest
     record per shard (SURVEY.md §7.4 hard part 4: records are written
-    only after the wave directory is durably renamed into place)."""
+    only after the wave directory is durably renamed into place).
+
+    Shards in the wave that produced NO rows (zero-row parquet files)
+    still get a zero record — otherwise resume would treat them as
+    pending forever and never converge."""
+    seen = set(partials["shard_id"].astype(int)) if not partials.empty else set()
+    for sid in wave_shard_ids:
+        if sid in seen:
+            continue
+        write_shard_record(out_dir, {
+            "shard_id": int(sid),
+            "path": shard_paths[int(sid)],
+            "n_rows": 0, "n_success": 0, "n_error": 0, "processing_ms": 0,
+            "hash_xor": f"{0:032x}", "row_min": -1, "row_max": -1,
+            "wave_dir": wave_dir, "wave_wall_s": round(wall_s, 3),
+        })
     if partials.empty:
         return
     for sid, g in partials.groupby("shard_id"):

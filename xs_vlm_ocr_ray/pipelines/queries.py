@@ -74,19 +74,11 @@ def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
 
     def partial(t: pa.Table) -> pa.Table:
+        # no empty-batch special case: pyarrow group_by on an empty
+        # table already emits the correct (empty) partial schema — a
+        # hand-built empty table with different column names would give
+        # Ray mismatched block schemas on date-clustered layouts
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "l_returnflag": pa.array([], pa.string()),
-                    "l_linestatus": pa.array([], pa.string()),
-                    "sum_qty": pa.array([], pa.float64()),
-                    "sum_base_price": pa.array([], pa.float64()),
-                    "sum_disc_price": pa.array([], pa.float64()),
-                    "sum_charge": pa.array([], pa.float64()),
-                    "count_order": pa.array([], pa.int64()),
-                }
-            )
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
         t = t.append_column("disc_price", disc_price).append_column("charge", charge)

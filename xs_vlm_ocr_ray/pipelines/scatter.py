@@ -71,7 +71,9 @@ class _SplitStage:
             else:
                 segs = [p]
             n = len(segs)
-            key = url if n > 1 else f"~s~{sid}~{rid}"
+            # assembly key includes lineage, never url alone: duplicate
+            # urls (mirror rows) must NOT have their segments merged
+            key = f"~m~{sid}~{rid}" if n > 1 else f"~s~{sid}~{rid}"
             for i, s in enumerate(segs):
                 out["url"].append(url)
                 out["asm_key"].append(key)

@@ -108,6 +108,11 @@ def run_training_pipeline(
     total = read_pages(sf_dir_or_paths, columns=["url"]).count()
     ds = build_training_ds(sf_dir_or_paths, min_quality, min_tokens)
     if out_dir is not None:
+        # overwrite semantics: clear stale files first, or the count
+        # read-back would include a previous run's UUID-named files
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         ds.write_parquet(out_dir)
         kept = rd.read_parquet(out_dir).count()
     else:

@@ -45,14 +45,16 @@ def brute_force_topk(
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
         sims = _unit(mat) @ q
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        if len(sims) > k:
-            idx = np.argpartition(-sims, k)[:k]
-        else:
-            idx = np.arange(len(sims))
+        # the per-batch cut must use the SAME total order as the final
+        # merge and the SQL oracle — (rounded sim desc, id asc) — or a
+        # tie at the k-boundary drops the smaller-id row the oracle keeps
+        sims_r = np.round(sims, 6)
+        order = np.lexsort((ids, -sims_r))
+        idx = order[:k]
         return pa.table(
             {
                 id_col: pa.array(ids[idx]),
-                "sim": pa.array(np.round(sims[idx], 6), pa.float64()),
+                "sim": pa.array(sims_r[idx], pa.float64()),
             }
         )
 

@@ -21,16 +21,31 @@ _MAGICS: list[tuple[bytes, str]] = [
     (b"%PDF-", "pdf"),
     (b"\x89PNG\r\n\x1a\n", "image"),
     (b"\xff\xd8\xff", "image"),
-    (b"GIF8", "image"),
-    (b"BM", "image"),
-    (b"RIFF", "image"),  # WEBP container
+    (b"GIF87a", "image"),
+    (b"GIF89a", "image"),
 ]
+
+
+def _classify_one(h: bytes) -> str:
+    for magic, kind in _MAGICS:
+        if h.startswith(magic):
+            return kind
+    # short prefixes need corroboration or plain text starting with the
+    # same letters ("BMW dealers…", "RIFF format notes…") would be
+    # routed to the image engine:
+    # WEBP = RIFF container with the WEBP fourcc at offset 8
+    if h.startswith(b"RIFF") and h[8:12] == b"WEBP":
+        return "image"
+    # BMP = "BM" + 4-byte size + 4 reserved ZERO bytes at offset 6
+    if h.startswith(b"BM") and len(h) >= 10 and h[6:10] == b"\x00\x00\x00\x00":
+        return "image"
+    return "html"
 
 
 def classify_payload_kind(batch: pa.Table, payload_col: str = "html") -> pa.Table:
     col = batch[payload_col]
-    # prefix of first 8 bytes, vectorized
-    head = pc.binary_slice(col, 0, 8)
+    # prefix of first 12 bytes, vectorized slice
+    head = pc.binary_slice(col, 0, 12)
     kinds = np.full(len(batch), "html", dtype=object)
     lengths = pc.binary_length(col)
     empty_mask = pc.fill_null(pc.equal(lengths, 0), True)
@@ -39,10 +54,7 @@ def classify_payload_kind(batch: pa.Table, payload_col: str = "html") -> pa.Tabl
         if h is None or h == b"":
             kinds[i] = "empty"
             continue
-        for magic, kind in _MAGICS:
-            if h.startswith(magic):
-                kinds[i] = kind
-                break
+        kinds[i] = _classify_one(h)
     # empty mask wins over magic
     em = empty_mask.to_numpy(zero_copy_only=False)
     kinds[em] = "empty"

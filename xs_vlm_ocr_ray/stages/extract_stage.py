@@ -27,28 +27,6 @@ from ..functions.hashing import content_hash_batch
 from ..schema import HTML_ENGINE_CONFIDENCE, SPAN_TYPE
 
 
-def spans_with_bbox(span_texts: list[str], confidence: float = HTML_ENGINE_CONFIDENCE):
-    """Assign deterministic reading-order bboxes: the i-th of n content
-    blocks occupies the full width at vertical band [i/n, (i+1)/n) —
-    the whole-page analog of the reference's single (0,0,1,1) block
-    (src/adapters/QwenAdapter.cpp:554-560), refined to per-block bands
-    so reading-order sort (y0, x0, idx) reproduces document order."""
-    n = len(span_texts)
-    if n == 0:
-        return []
-    return [
-        {
-            "text": t,
-            "x0": 0.0,
-            "y0": i / n,
-            "x1": 1.0,
-            "y1": (i + 1) / n,
-            "confidence": confidence,
-        }
-        for i, t in enumerate(span_texts)
-    ]
-
-
 def spans_column(all_span_texts: list[list[str]], confidence: float = HTML_ENGINE_CONFIDENCE) -> pa.ListArray:
     """Vectorized spans list-of-struct column builder — flat arrays +
     offsets instead of per-row Python dicts (the dict path measurably
