@@ -1,0 +1,79 @@
+"""Property tests for the byte-exactness-critical kernels (SURVEY.md
+§7.4): hash canonicalization, boxed-content normalizer, whitespace
+normalization, CSV escaping."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from xs_vlm_ocr_ray.functions.hashing import (
+    canonical_param_bytes,
+    content_hash,
+    content_hash_batch,
+)
+from xs_vlm_ocr_ray.functions.textnorm import csv_escape, normalize_boxed, qt_trim
+
+_KEY = st.text(alphabet=string.ascii_lowercase + "_", min_size=1, max_size=10)
+_VAL = st.text(max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(_KEY, _VAL, max_size=6), st.binary(min_size=1, max_size=64),
+       st.text(max_size=20))
+def test_hash_invariant_to_param_order_and_secrets(params, payload, prompt):
+    """T6: hash must not depend on dict insertion order, and secrets
+    never contribute."""
+    reordered = dict(reversed(list(params.items())))
+    assert content_hash(payload, prompt, "e", params) == content_hash(
+        payload, prompt, "e", reordered
+    )
+    with_secret = {**params, "api_key": "sk-xyz", "ACCESS_TOKEN": "t"}
+    assert content_hash(payload, prompt, "e", params) == content_hash(
+        payload, prompt, "e", with_secret
+    )
+    # batch form agrees with the scalar form
+    assert content_hash_batch([payload, None], prompt, "e", params) == [
+        content_hash(payload, prompt, "e", params),
+        "",
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(_KEY, _VAL, max_size=6))
+def test_canonical_params_injective_on_sorted_join(params):
+    """Canonical serialization is deterministic and stable."""
+    assert canonical_param_bytes(params) == canonical_param_bytes(dict(params))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet='ab: ,"<|>_ofbx\n\t', max_size=40))
+def test_normalize_boxed_idempotent(s):
+    """M15: applying the normalizer twice must equal applying it once
+    (a second model round-trip can't change the bytes)... except the
+    quote-strip layer, which by the reference's own chain CAN peel one
+    layer per pass; assert the documented invariants instead."""
+    once = normalize_boxed(s)
+    assert "<|begin_of_box|>" not in once
+    assert "<|end_of_box|>" not in once
+    assert once == qt_trim(once)          # always trimmed
+    # exactly ONE trailing comma is stripped (GLMAdapter.cpp:472-498):
+    # "a,," keeps one comma; "a," loses it
+    assert normalize_boxed("a,") == "a"
+    assert normalize_boxed("a,,") == "a,"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_csv_escape_roundtrip(field):
+    """K4: csv.reader recovers the original field from our escaping."""
+    import csv as _csv
+    import io
+
+    line = csv_escape(field)
+    if field == "":
+        assert line == ""
+        return
+    rows = list(_csv.reader(io.StringIO(line + "\n")))
+    # embedded newline: csv joins continuation only when quoted
+    got = rows[0][0] if rows and rows[0] else ""
+    assert got == field
