@@ -136,6 +136,94 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: tight filter + global scalar aggregate — the
+    pure column-pruned streaming scan (no shuffle at all: per-batch
+    partial sums, driver-side fold)."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], 0.05),
+                    pc.less_equal(t["l_discount"], 0.07),
+                ),
+                pc.less(t["l_quantity"], 24.0),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").to_pandas()["rev"].sum()
+    return pd.DataFrame({"revenue": [round(float(total), 2)]})
+
+
+_Q6_SQL = """
+SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: fact table joined to FOUR broadcast dimension
+    maps (customer, supplier?, nation, region) — here simplified to
+    orders ⋈ customer ⋈ nation ⋈ region revenue per nation. All
+    dimension sides are driver-broadcast; the fact scan emits per-batch
+    partials; one tiny groupby."""
+    nation = {n["n_nationkey"]: (n["n_name"], n["n_regionkey"])
+              for n in pq.read_table(_p(sf_dir, "nation")).to_pylist()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in pq.read_table(_p(sf_dir, "region")).to_pylist()}
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cmap = dict(zip(cust["c_custkey"].to_numpy(zero_copy_only=False),
+                    cust["c_nationkey"].to_numpy(zero_copy_only=False)))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = []
+        for k in t["o_custkey"].to_numpy(zero_copy_only=False):
+            nk = cmap[int(k)]
+            nname, rk = nation[int(nk)]
+            if region[int(rk)] == "ASIA":
+                names.append(nname)
+            else:
+                names.append(None)
+        t2 = pa.table({"n_name": pa.array(names, pa.string()), "o_totalprice": t["o_totalprice"]})
+        t2 = t2.filter(pc.is_valid(t2["n_name"]))
+        g = t2.group_by("n_name").aggregate([("o_totalprice", "sum")])
+        return g.rename_columns(["n_name", "rev_part"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    df = (
+        partials.groupby("n_name")
+        .aggregate(Sum("rev_part", alias_name="revenue"))
+        .to_pandas()
+    )
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("revenue", ascending=False).reset_index(drop=True)
+
+
+_Q5_SQL = """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY revenue DESC
+"""
+
+
 # --------------------------------------------------------------------------
 # Broadcast join (reference J1: model × provider small-dim join)
 
@@ -1299,6 +1387,8 @@ def q_results_store(sf_dir: str) -> pd.DataFrame:
 
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
+    "q6_revenue": q6_revenue,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "q_broadcast_join": q_broadcast_join,
     "q_orders_join": q_orders_join,
     "q_part_brand_stats": q_part_brand_stats,
@@ -1351,6 +1441,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q1_lineitem_agg": _Q1_SQL,
+    "q6_revenue": _Q6_SQL,
+    "q5_local_supplier_volume": _Q5_SQL,
     "q_broadcast_join": _BROADCAST_JOIN_SQL,
     "q_orders_join": _ORDERS_JOIN_SQL,
     "q_part_brand_stats": _PART_BRAND_SQL,
