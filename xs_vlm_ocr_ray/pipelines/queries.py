@@ -224,6 +224,56 @@ GROUP BY n_name ORDER BY revenue DESC
 """
 
 
+def q4_priority_exists(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one
+    qualifying lineitem, counted by priority. Ray-native: distinct
+    qualifying keys via per-batch dedup + keyed groupby (true distinct,
+    no driver materialization), then a hash-shuffle inner join back to
+    orders, then the usual partial-agg reduce."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        # per-batch dedup: one row per key per batch crosses the shuffle
+        import pandas as _pd
+
+        keys = _pd.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64())})
+
+    distinct_keys = (
+        li.map_batches(qualifying, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(
+        distinct_keys, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
+        return g.rename_columns(["o_orderpriority", "n_part"])
+
+    df = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_part", alias_name="n_orders"))
+        .to_pandas()
+    )
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Broadcast join (reference J1: model × provider small-dim join)
 
@@ -1389,6 +1439,7 @@ QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q6_revenue": q6_revenue,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q4_priority_exists": q4_priority_exists,
     "q_broadcast_join": q_broadcast_join,
     "q_orders_join": q_orders_join,
     "q_part_brand_stats": q_part_brand_stats,
@@ -1443,6 +1494,7 @@ ORACLE_SQL = {
     "q1_lineitem_agg": _Q1_SQL,
     "q6_revenue": _Q6_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
+    "q4_priority_exists": _Q4_SQL,
     "q_broadcast_join": _BROADCAST_JOIN_SQL,
     "q_orders_join": _ORDERS_JOIN_SQL,
     "q_part_brand_stats": _PART_BRAND_SQL,
