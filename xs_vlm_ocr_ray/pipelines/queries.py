@@ -274,6 +274,55 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_orders_anti_join(sf_dir: str) -> pd.DataFrame:
+    """NOT EXISTS anti-join — the shuffle form of the J2 resume
+    anti-join (skip work already done): orders with NO qualifying
+    lineitem, counted by priority. Ray-native: left-outer hash join
+    against the distinct qualifying keys, keep the null side."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        keys = _pd.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64())})
+
+    distinct_keys = (
+        li.map_batches(qualifying, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="matched"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(
+        distinct_keys, join_type="left_outer", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # anti: unmatched left rows carry a null "matched" marker
+        t = t.filter(pc.is_null(t["matched"]))
+        g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
+        return g.rename_columns(["o_orderpriority", "n_part"])
+
+    df = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_part", alias_name="n_orders"))
+        .to_pandas()
+    )
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_ANTI_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Broadcast join (reference J1: model × provider small-dim join)
 
@@ -1440,6 +1489,7 @@ QUERIES = {
     "q6_revenue": q6_revenue,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q4_priority_exists": q4_priority_exists,
+    "q_orders_anti_join": q_orders_anti_join,
     "q_broadcast_join": q_broadcast_join,
     "q_orders_join": q_orders_join,
     "q_part_brand_stats": q_part_brand_stats,
@@ -1495,6 +1545,7 @@ ORACLE_SQL = {
     "q6_revenue": _Q6_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "q4_priority_exists": _Q4_SQL,
+    "q_orders_anti_join": _ANTI_JOIN_SQL,
     "q_broadcast_join": _BROADCAST_JOIN_SQL,
     "q_orders_join": _ORDERS_JOIN_SQL,
     "q_part_brand_stats": _PART_BRAND_SQL,
