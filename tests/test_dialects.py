@@ -103,3 +103,16 @@ def test_parse_layout():
     )
     assert ok and text == "md"
     assert parse_response_layout({"errorCode": 7, "errorMsg": "bad"})[1] == "http_error: bad"
+
+
+def test_build_request_layout():
+    # PaddleAdapter.cpp:170-183: bare base64 (no data-URI prefix) +
+    # fileType 1; auth as a token header, never in the body
+    import base64
+
+    from xs_vlm_ocr_ray.engines.dialects import build_request_layout, layout_auth_header
+
+    body = build_request_layout(b"\x89PNG...", file_type=1)
+    assert body == {"file": base64.b64encode(b"\x89PNG...").decode("ascii"), "fileType": 1}
+    assert not body["file"].startswith("data:")
+    assert layout_auth_header("k123") == {"Authorization": "token k123"}

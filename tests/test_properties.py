@@ -65,13 +65,22 @@ def test_normalize_boxed_idempotent(s):
 @settings(max_examples=300, deadline=None)
 @given(st.text(max_size=60))
 def test_csv_escape_roundtrip(field):
-    """K4: csv.reader recovers the original field from our escaping."""
+    """K4: csv.reader recovers the original field from our escaping.
+
+    Known reference divergence from strict RFC 4180: the reference
+    quotes only on ``,`` ``"`` ``\\n`` (MainWindow.cpp:1888-1896), so a
+    bare ``\\r`` ships unquoted and is NOT round-trip-safe — we
+    replicate that byte-exactly and exclude it from the round-trip
+    claim."""
     import csv as _csv
     import io
 
     line = csv_escape(field)
     if field == "":
         assert line == ""
+        return
+    if "\r" in field and not any(c in field for c in (",", '"', "\n")):
+        assert line == field  # shipped raw, exactly as the reference does
         return
     rows = list(_csv.reader(io.StringIO(line + "\n")))
     # embedded newline: csv joins continuation only when quoted

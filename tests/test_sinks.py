@@ -28,20 +28,32 @@ def test_result_csv_bom_and_escaping(tmp_path):
     raw = result_csv_bytes(text)
     assert raw.startswith(b"\xef\xbb\xbf")  # Excel BOM (MainWindow.cpp:1879)
     body = raw[3:].decode("utf-8")
-    assert body == 'plain line\n"with, comma"\n"with ""quote"""\n'
+    # the reference writes "\n" after EVERY line, including the last
+    # (empty) one produced by the trailing newline split
+    assert body == 'plain line\n"with, comma"\n"with ""quote"""\n\n'
     # a std csv reader parses it back to the original lines
     p = str(tmp_path / "out.csv")
     result_to_csv(text, p)
     with open(p, encoding="utf-8-sig", newline="") as f:
         rows = [r[0] if r else "" for r in csv.reader(f)]
-    # csv treats the final \n as EOF, not an empty record
-    assert rows == text.split("\n")[:-1]
+    assert rows == text.split("\n")
+
+
+def test_csv_escape_ignores_carriage_return():
+    # the reference checks only , " and \n — a bare \r is NOT quoted
+    from xs_vlm_ocr_ray.functions.textnorm import csv_escape
+
+    assert csv_escape("a\rb") == "a\rb"
+    assert csv_escape("a,b") == '"a,b"'
 
 
 def test_result_doc_html_escapes():
     html = result_doc_html('a<b>&"c"\nnext')
     assert "a&lt;b&gt;&amp;&quot;c&quot;" in html
-    assert "<br>" in html
+    # reference envelope: <pre> block (newlines verbatim), OCR Result title
+    assert "<pre style='font-family: Arial; font-size: 11pt;'>" in html
+    assert "<title>OCR Result</title>" in html
+    assert "<br>" not in html
     assert "schemas-microsoft-com:office:word" in html
 
 

@@ -37,9 +37,11 @@ class TestNormalizeBoxed:
         assert normalize_boxed('  <|begin_of_box|>: "v",<|end_of_box|> ') == '"v"'
         assert normalize_boxed('<|begin_of_box|>: "v" <|end_of_box|>') == "v"
 
-    def test_lone_quote_not_stripped(self):
-        # len>=2 guard: a single quote is both start and end
-        assert normalize_boxed('"') == '"'
+    def test_lone_quote_strips_to_empty(self):
+        # Qt checks only startsWith/endsWith (GLMAdapter.cpp:485-488):
+        # a lone '"' satisfies both and mid(1, -1) yields ""
+        assert normalize_boxed('"') == ""
+        assert normalize_boxed('  "  ') == ""
 
 
 class TestMerge:

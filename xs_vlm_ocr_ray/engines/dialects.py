@@ -124,6 +124,22 @@ def build_request_doubao(
     }
 
 
+def build_request_layout(payload: bytes, file_type: int = 1) -> dict:
+    """Layout-parsing dialect (PaddleAdapter.cpp:170-183): bare-base64
+    ``file`` (no data-URI prefix) + ``fileType`` (1 = image). The
+    auth travels as a ``token …`` Authorization header, not in the
+    body (PaddleAdapter.cpp:160-168) — see ``layout_auth_header``."""
+    return {
+        "file": base64.b64encode(payload).decode("ascii"),
+        "fileType": file_type,
+    }
+
+
+def layout_auth_header(api_key: str) -> dict:
+    """``Authorization: token {key}`` (PaddleAdapter.cpp:160-163)."""
+    return {"Authorization": f"token {api_key}"}
+
+
 # --- M10-M14: response parsers (in-band errors) --------------------------
 
 

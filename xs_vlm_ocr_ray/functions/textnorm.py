@@ -43,7 +43,10 @@ def normalize_boxed(content: str) -> str:
     elif content.startswith(":"):
         content = content[1:]
     content = content.strip()
-    if len(content) >= 2 and content.startswith('"') and content.endswith('"'):
+    # no length guard: Qt checks only startsWith/endsWith, so a lone
+    # '"' satisfies both and mid(1, -1) yields "" — Python's [1:-1] on a
+    # 1-char string is also "" (GLMAdapter.cpp:485-488)
+    if content.startswith('"') and content.endswith('"'):
         content = content[1:-1]
     if content.endswith(","):
         content = content[:-1]
@@ -82,8 +85,9 @@ def preview(text: str, n: int = 50) -> str:
 def csv_escape(field: str) -> str:
     """RFC-4180-style escaping (src/ui/MainWindow.cpp:1888-1896):
     double internal quotes; wrap in quotes iff the field contains
-    ``,``, ``"`` or a newline."""
-    if any(c in field for c in (",", '"', "\n", "\r")):
+    ``,``, ``"`` or ``\\n`` — exactly the three characters the reference
+    checks (it does NOT check ``\\r``)."""
+    if any(c in field for c in (",", '"', "\n")):
         return '"' + field.replace('"', '""') + '"'
     return field
 

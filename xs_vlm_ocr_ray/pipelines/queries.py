@@ -588,15 +588,26 @@ ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 20
 
 def q_top1_per_key(sf_dir: str) -> pd.DataFrame:
     """O2: most recent row per key (reference: latest successful row per
-    content_hash). Partial per-batch reduce → groupby final reduce."""
+    content_hash). Partial per-batch reduce → coarse-bucket groupby
+    final reduce: the shuffle key is ``user_id mod 4096`` (group count
+    bounded by the bucket constant, not user cardinality — avoids Ray's
+    per-group map_groups overhead on millions of tiny groups); the exact
+    per-user top-1 is a vectorized pandas pass inside each bucket."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"], kind="mergesort")
         return df.groupby("user_id", as_index=False).tail(1)
 
-    partials = ds.map_batches(reduce_df, batch_format="pandas")
-    final = partials.groupby("user_id").map_groups(reduce_df, batch_format="pandas")
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = reduce_df(df)
+        return out.assign(_bucket=(out["user_id"] % 4096).astype("int32"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return reduce_df(df).drop(columns=["_bucket"])
+
+    partials = ds.map_batches(add_bucket, batch_format="pandas")
+    final = partials.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
     df = final.to_pandas().rename(
         columns={"ts": "last_ts", "event_id": "last_event_id", "value": "last_value"}
     )

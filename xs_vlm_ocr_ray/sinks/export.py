@@ -75,9 +75,11 @@ result_to_markdown = result_to_txt
 
 def result_csv_bytes(text: str) -> bytes:
     """K4: line-split → one CSV row per line, RFC-4180 escaping, UTF-8
-    BOM prefix for Excel (MainWindow.cpp:1873-1899)."""
+    BOM prefix for Excel (MainWindow.cpp:1873-1899). The reference
+    streams ``csvLine << "\\n"`` for EVERY line — including the last —
+    so the output always ends with a newline."""
     lines = text.split("\n")
-    body = "\n".join(csv_escape(line) for line in lines)
+    body = "".join(csv_escape(line) + "\n" for line in lines)
     return _UTF8_BOM + body.encode("utf-8")
 
 
@@ -86,15 +88,18 @@ def result_to_csv(text: str, path: str) -> None:
 
 
 def result_doc_html(text: str) -> str:
-    """K6: MS-Office Word-HTML envelope around HTML-escaped text
-    (MainWindow.cpp:1855-1872)."""
-    escaped = html_escape_text(text).replace("\n", "<br>\n")
+    """K6: MS-Office Word-HTML envelope around HTML-escaped text,
+    byte-matching the reference's stream writes (MainWindow.cpp:
+    1855-1872): ``<title>OCR Result</title>`` and a ``<pre>`` block
+    (newlines preserved verbatim — no ``<br>`` rewriting)."""
+    escaped = html_escape_text(text)
     return (
         "<html xmlns:o='urn:schemas-microsoft-com:office:office' "
         "xmlns:w='urn:schemas-microsoft-com:office:word' "
         "xmlns='http://www.w3.org/TR/REC-html40'>"
-        "<head><meta charset='utf-8'><title>Export</title></head>"
-        f"<body><div>{escaped}</div></body></html>"
+        "<head><meta charset='utf-8'><title>OCR Result</title></head><body>"
+        f"<pre style='font-family: Arial; font-size: 11pt;'>{escaped}</pre>"
+        "</body></html>"
     )
 
 

@@ -175,12 +175,21 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` are skew-guarded: dropped with an
     in-band count (``attrs['n_oversized_buckets']``).
 
-    The shuffle key is a COARSE hash prefix (``band_hash %
+    The shuffle key is a COARSE hash prefix (``band_hash mod
     coarse_buckets``), not the raw bucket: Ray's ``map_groups`` pays
     per-group Python overhead, and real corpora have ~docs×bands tiny
     buckets — grouping coarsely and resolving the exact buckets with a
     vectorized pandas groupby inside each coarse group cuts the group
-    count by orders of magnitude without changing the result."""
+    count by orders of magnitude without changing the result.
+
+    The oversized-bucket counter travels in a DEDICATED ``n_oversized``
+    column (counter rows carry a == b == 0, impossible for a real pair
+    since pairs are strict a < b) — never as a sentinel id, which would
+    collide with corpora whose ids include the sentinel value."""
+    assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0, (
+        f"coarse_buckets must be a power of two (got {coarse_buckets}): "
+        "the shuffle key is computed with a bit mask"
+    )
 
     def add_coarse(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -204,11 +213,17 @@ def lsh_candidate_pairs(
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
+        over = [0] * len(out_a)
         if n_oversized:
-            out_a.append(-1)
-            out_b.append(n_oversized)
+            out_a.append(0)
+            out_b.append(0)
+            over.append(n_oversized)
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+            {
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "n_oversized": pd.Series(over, dtype="int64"),
+            }
         )
 
     pairs = (
@@ -219,9 +234,13 @@ def lsh_candidate_pairs(
     )
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": []})
-    oversized = pairs[pairs["a"] == -1]
-    pairs = pairs[pairs["a"] != -1].drop_duplicates().reset_index(drop=True)
-    pairs.attrs["n_oversized_buckets"] = int(oversized["b"].sum()) if len(oversized) else 0
+    n_oversized = int(pairs["n_oversized"].sum())
+    pairs = (
+        pairs[pairs["n_oversized"] == 0][["a", "b"]]
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    pairs.attrs["n_oversized_buckets"] = n_oversized
     return pairs
 
 
@@ -268,22 +287,24 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_posting: int | None = None,
+    max_posting: int | None = 1024,
 ) -> pd.DataFrame:
-    """EXACT n-gram (word k-shingle) Jaccard near-dup pairs via a
-    distributed inverted shingle index.
+    """n-gram (word k-shingle) Jaccard near-dup pairs via a distributed
+    inverted shingle index.
 
     Plan: explode distinct shingle hashes per doc → ``groupby(shingle)``
     emits candidate pairs per posting list → ``groupby(pair)`` counts
-    shared shingles (= |A∩B| exactly) → join per-doc set sizes →
-    jaccard = i/(|A|+|B|-i), filter ≥ threshold.
+    shared shingles (= |A∩B| exactly) → join per-doc set sizes for the
+    CANDIDATE ids only → jaccard = i/(|A|+|B|-i), filter ≥ threshold.
 
-    Scale path: ``max_posting`` frequency-caps hot shingles (stopword
-    shingles shared by millions of docs) — the standard skew guard; it
-    makes the result approximate (pairs sharing ONLY ultra-common
-    shingles are missed) and is OFF by default for oracle exactness.
-    Set sizes are collected driver-side here (one int per doc); at
-    corpus scale that join is a broadcast of the candidate ids only.
+    ``max_posting`` frequency-caps hot shingles (a stopword shingle
+    shared by p docs would otherwise generate O(p²) pairs) — the
+    standard skew guard, ON by default (1024). Capped posting lists are
+    counted in-band and surfaced as ``attrs['n_capped_postings']`` —
+    never silently. The result is exact whenever no posting exceeds the
+    cap (every near-dup pair shares at least one sub-cap shingle
+    otherwise it can be missed); pass ``max_posting=None`` to force
+    exactness regardless of skew (unsafe at corpus scale).
     """
 
     def explode(t: pa.Table) -> pa.Table:
@@ -317,18 +338,31 @@ def ngram_jaccard_pairs(
         # a corpus has ~docs × shingles distinct posting lists, far too
         # many for per-group map_groups overhead
         out_a, out_b = [], []
+        n_capped = 0
         for _, g in df.groupby("sh"):
             ids = sorted(g[id_col].unique())
             if len(ids) < 2:
                 continue
             if max_posting is not None and len(ids) > max_posting:
+                n_capped += 1
                 continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
+        capped = [0] * len(out_a)
+        if n_capped:
+            # skew counter in a dedicated column; a == b == 0 is
+            # impossible for a real pair (strict a < b)
+            out_a.append(0)
+            out_b.append(0)
+            capped.append(n_capped)
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+            {
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "n_capped": pd.Series(capped, dtype="int64"),
+            }
         )
 
     pair_rows = (
@@ -338,14 +372,28 @@ def ngram_jaccard_pairs(
     )
     inter = (
         pair_rows.groupby(["a", "b"])
-        .aggregate(Count(alias_name="i"))
+        .aggregate(Count(alias_name="i"), Sum("n_capped", alias_name="n_capped"))
         .to_pandas()
     )
+    n_capped_postings = int(inter["n_capped"].sum()) if len(inter) else 0
+    inter = inter[inter["n_capped"] == 0]
     if inter.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        out = pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        out.attrs["n_capped_postings"] = n_capped_postings
+        return out
 
-    # per-doc set sizes (one int per doc; tiny)
+    # per-doc set sizes for CANDIDATE ids only: the candidate set is
+    # broadcast (closure-captured Arrow array) and applied as a
+    # vectorized is_in filter — driver state is O(candidates), never
+    # O(corpus)
+    cand_ids = pa.array(
+        sorted(set(inter["a"]).union(inter["b"])), pa.int64()
+    )
+
     def size_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t[id_col], value_set=cand_ids))
         ids, ns = [], []
         for i, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             ss = shingles(x or "", shingle_k)
@@ -363,7 +411,9 @@ def ngram_jaccard_pairs(
         inter["i"] / (sizes.loc[inter["a"]].to_numpy() + sizes.loc[inter["b"]].to_numpy() - inter["i"])
     ).round(6)
     out = inter[inter["jaccard"] >= threshold][["a", "b", "jaccard"]]
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out.attrs["n_capped_postings"] = n_capped_postings
+    return out
 
 
 # --- SimHash -------------------------------------------------------------
@@ -489,42 +539,55 @@ def embedding_neardup_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows_bruteforce: int = 500_000,
 ) -> pd.DataFrame:
-    """EXACT embedding-cosine near-dup pairs ≥ threshold.
+    """Embedding-cosine near-dup pairs ≥ threshold.
 
-    The normalized matrix is broadcast once (driver capture → every
-    batch task reads the same object-store copy); each batch computes
-    ``batch × all`` cosine and emits only its qualifying (a < b) pairs —
-    no shuffle, partial results only. This is the brute-force baseline;
-    the LSH-bucketed variant (ann.lsh_bucket_ids + within-bucket pairs)
-    is the approximate scale path when the matrix no longer fits.
-    """
+    Brute-force path (EXACT, default below ``max_rows_bruteforce``
+    rows): the normalized matrix is ``ray.put`` ONCE into the object
+    store; each batch task ``ray.get``s the same shared-memory copy
+    (zero-copy on-node, shipped once per node in a cluster) and computes
+    a vectorized ``batch × all`` cosine, emitting only its qualifying
+    (a < b) pairs — no shuffle, no per-batch re-ship, partial results
+    only.
+
+    Above the threshold the matrix no longer belongs on one heap and the
+    call routes to the LSH-bucketed path: hyperplane-bucket assignment →
+    ``groupby(bucket)`` → exact cosine WITHIN each bucket (approximate
+    overall — cross-bucket pairs are missed with the usual LSH
+    probability; see ann.lsh_bucket_ids)."""
+    import ray
+
+    n = emb_ds.count()
+    if n > max_rows_bruteforce:
+        return _embedding_neardup_bucketed(
+            emb_ds, threshold=threshold, vec_col=vec_col, id_col=id_col
+        )
+
+    # bounded driver assembly: ids + flat matrix, immediately ray.put
     all_df = emb_ds.to_pandas()
     ids_all = all_df[id_col].to_numpy()
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in all_df[vec_col]])
+    del all_df
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    mat_n = mat / norms
+    ref = ray.put((ids_all, mat / norms))
 
     def partial(t: pa.Table) -> pa.Table:
+        ids_all, mat_n = ray.get(ref)  # shared-memory read, not a copy per batch
         ids_b = t[id_col].to_numpy(zero_copy_only=False)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
         nn = np.linalg.norm(m, axis=1, keepdims=True)
         nn[nn == 0] = 1.0
         sims = (m / nn) @ mat_n.T
-        rows_a, rows_b, rows_s = [], [], []
-        for r in range(sims.shape[0]):
-            hits = np.nonzero(sims[r] >= threshold)[0]
-            for c in hits:
-                if ids_b[r] < ids_all[c]:
-                    rows_a.append(int(ids_b[r]))
-                    rows_b.append(int(ids_all[c]))
-                    rows_s.append(round(float(sims[r, c]), 6))
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids_b[ii] < ids_all[jj]
+        ii, jj = ii[keep], jj[keep]
         return pa.table(
             {
-                "a": pa.array(rows_a, pa.int64()),
-                "b": pa.array(rows_b, pa.int64()),
-                "sim": pa.array(rows_s, pa.float64()),
+                "a": pa.array(ids_b[ii], pa.int64()),
+                "b": pa.array(ids_all[jj], pa.int64()),
+                "sim": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
             }
         )
 
@@ -532,3 +595,78 @@ def embedding_neardup_pairs(
     if out.empty:
         return pd.DataFrame({"a": [], "b": [], "sim": []})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _embedding_neardup_bucketed(
+    emb_ds: rd.Dataset,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    coarse_buckets: int = 1024,
+) -> pd.DataFrame:
+    """Approximate scale path: hyperplane-LSH bucket assignment, then
+    exact pairwise cosine WITHIN each bucket (grouped by a coarse bucket
+    prefix; exact buckets resolved with a vectorized inner pandas
+    groupby). Never materializes the corpus on the driver; the shuffle
+    moves each vector exactly once."""
+    from .ann import lsh_bucket_ids
+
+    with_buckets = lsh_bucket_ids(emb_ds, num_planes=num_planes, vec_col=vec_col)
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "coarse",
+            pc.cast(
+                pc.bit_wise_and(t["bucket"], pa.scalar(coarse_buckets - 1, pa.int32())),
+                pa.int32(),
+            ),
+        )
+
+    def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        out_frames = []
+        for _, g in df.groupby("bucket"):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+            nn = np.linalg.norm(m, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            m = m / nn
+            sims = m @ m.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+            a = np.minimum(ids[ii], ids[jj])
+            b = np.maximum(ids[ii], ids[jj])
+            out_frames.append(
+                pd.DataFrame(
+                    {"a": a, "b": b, "sim": np.round(sims[ii, jj], 6)}
+                )
+            )
+        if not out_frames:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        out = pd.concat(out_frames, ignore_index=True)
+        return out.astype({"a": "int64", "b": "int64", "sim": "float64"})
+
+    pairs = (
+        with_buckets.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_coarse, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"a": [], "b": [], "sim": []})
+    return (
+        pairs.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

@@ -11,9 +11,13 @@ built from Ray Data primitives with an explicit partitioning story:
 - ``tumbling_window_agg``: stateless — the window key is a pure row
   function, so it's a partial per-batch reduce + tiny groupby (no
   ordered state at all);
-- ``sessionize``: ``groupby(user).map_groups`` with an in-group sort —
-  state never crosses a key boundary; skew bounded by per-user row
-  counts (salt hot users if a key exceeds a group-size budget);
+- ``sessionize``: grouped by a COARSE user-hash prefix (``user mod
+  4096``), with the exact per-user session logic fully vectorized in
+  pandas inside each coarse group — the shuffle key count is bounded by
+  the bucket constant, not by user cardinality (Ray's ``map_groups``
+  pays per-group Python overhead; millions of tiny per-user groups is
+  the known cliff). State never crosses a user boundary because a
+  user's rows always share a bucket;
 - ``drop_consecutive``: the one TRUE ordered-stream op. Exact
   distributed plan: bucket rows by coarse time range →
   ``groupby(bucket)`` resolves all within-bucket adjacencies → the
@@ -91,29 +95,40 @@ def sessionize(
     Returns one row per session: (user_id, session_id, n_events,
     session_start, session_end). session_id numbers sessions per user in
     time order starting at 0 — deterministic via the total sort key
-    (ts, event_id)."""
+    (ts, event_id).
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, id_col], kind="mergesort")
-        gaps = df[ts_col].diff().dt.total_seconds()
-        new_session = (gaps > gap_seconds).fillna(False)
-        sid = new_session.cumsum().astype("int64")
-        g = df.groupby(sid)
-        out = pd.DataFrame(
-            {
-                user_col: df[user_col].iloc[0],
-                "session_id": g.size().index,
-                "n_events": g.size().to_numpy(),
-                "session_start": g[ts_col].min().to_numpy(),
-                "session_end": g[ts_col].max().to_numpy(),
-            }
+    Shuffle key = coarse user-hash bucket (≤ ``buckets`` groups total);
+    the per-user gap logic inside each bucket is a single vectorized
+    pandas pass (sort + grouped diff + cumsum), no per-user Python
+    loop."""
+    buckets = 4096
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(pc.cast(t[user_col], pa.int64()), pa.scalar(buckets - 1, pa.int64())),
+            pa.int32(),
         )
-        return out
+        return t.append_column("_bucket", b)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        gaps = df.groupby(user_col, sort=False)[ts_col].diff().dt.total_seconds()
+        new_session = (gaps > gap_seconds).fillna(False)
+        sid = new_session.groupby(df[user_col], sort=False).cumsum().astype("int64")
+        g = df.groupby([df[user_col], sid], sort=False)
+        out = g.agg(
+            n_events=(id_col, "size"),
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+        )
+        out.index.names = [user_col, "session_id"]
+        return out.reset_index()
 
     out = (
         events.select_columns([user_col, ts_col, id_col])
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values([user_col, "session_id"]).reset_index(drop=True)
