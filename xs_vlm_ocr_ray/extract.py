@@ -99,15 +99,21 @@ class ExtractResult:
         return qt_trim(merge_full_text(self.span_texts))
 
 
-def extract_html(payload: bytes | None) -> ExtractResult:
-    """One document → ordered content-span texts, errors in-band."""
+def extract_html(payload: bytes | memoryview | None) -> ExtractResult:
+    """One document → ordered content-span texts, errors in-band.
+
+    Accepts any buffer-protocol payload: the Ray stage passes zero-copy
+    memoryview slices over the Arrow values buffer, so the ONLY copy of
+    a document on the hot path is its one utf-8 decode (``str(buf,
+    "utf-8")`` decodes straight from shared memory — no intermediate
+    ``bytes`` materialization per row)."""
     if payload is None or len(payload) == 0:
         return ExtractResult(False, "empty_payload")
     try:
-        doc = payload.decode("utf-8")
+        doc = str(payload, "utf-8")
     except UnicodeDecodeError:
         try:
-            doc = payload.decode("utf-8", errors="replace")
+            doc = str(payload, "utf-8", "replace")
         except Exception:  # pragma: no cover - replace cannot fail
             return ExtractResult(False, "decode_error")
     return ExtractResult(True, "", _scan(doc))

@@ -20,11 +20,48 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..extract import extract_html, split_html
 from ..functions.hashing import content_hash_batch
 from ..schema import HTML_ENGINE_CONFIDENCE, SPAN_TYPE
+
+
+def binary_views(col: pa.ChunkedArray | pa.Array) -> list[memoryview | None]:
+    """Zero-copy per-row views over a (large_)binary/string column.
+
+    ``to_pylist()`` memcpys every payload into a fresh ``bytes`` — on a
+    payload-heavy corpus that copy is pure memory-bus traffic (the
+    single-node 8→32-CPU scaling ceiling, BASELINE.md §3). Here each row
+    becomes a ``memoryview`` slice of the Arrow values buffer, which
+    lives in object-store shared memory: no copy until the utf-8 decode.
+    Null rows yield ``None``."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[memoryview | None] = []
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        odt = (
+            np.int64
+            if pa.types.is_large_binary(chunk.type) or pa.types.is_large_string(chunk.type)
+            else np.int32
+        )
+        bufs = chunk.buffers()
+        offs = np.frombuffer(bufs[-2], dtype=odt, count=chunk.offset + len(chunk) + 1)
+        data = memoryview(bufs[-1])
+        base = chunk.offset
+        if chunk.null_count:
+            valid = pc.is_valid(chunk).to_numpy(zero_copy_only=False)
+        else:
+            valid = None
+        for i in range(len(chunk)):
+            if valid is not None and not valid[i]:
+                out.append(None)
+            else:
+                out.append(data[offs[base + i] : offs[base + i + 1]])
+    return out
 
 
 def spans_column(all_span_texts: list[list[str]], confidence: float = HTML_ENGINE_CONFIDENCE) -> pa.ListArray:
@@ -91,10 +128,13 @@ class HtmlExtractor:
         self.keep = keep_input_columns
         extract_html(b"<p>warmup</p>")
 
-    def _extract_one(self, payload: bytes | None) -> tuple[bool, str, list[str]]:
+    def _extract_one(
+        self, payload: bytes | memoryview | None
+    ) -> tuple[bool, str, list[str]]:
         if payload is not None and len(payload) > self.segment_bytes:
             texts: list[str] = []
-            for seg in split_html(payload, self.segment_bytes):
+            # rare giant-doc path: split_html needs real bytes
+            for seg in split_html(bytes(payload), self.segment_bytes):
                 r = extract_html(seg)
                 if not r.success:
                     return False, r.error, []
@@ -104,7 +144,7 @@ class HtmlExtractor:
         return r.success, r.error, r.span_texts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["html"].to_pylist()
+        payloads = binary_views(batch["html"])
         n = len(payloads)
         success = [False] * n
         error = [""] * n
