@@ -94,7 +94,9 @@ class StubVlmExtractor:
         return True, "", qt_trim(normalize_boxed(raw)), sim_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["html"].to_pylist()
+        from ..stages.extract_stage import binary_views
+
+        payloads = binary_views(batch["html"])  # zero-copy Arrow views
         n = len(payloads)
         success = [False] * n
         error = [""] * n

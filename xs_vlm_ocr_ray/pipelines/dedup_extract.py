@@ -49,23 +49,36 @@ def _hash_and_collapse(prompt: str, params: dict[str, str] | None):
     duplicate rows (the pre-shuffle partial collapse)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        payloads = t["html"].to_pylist()
+        import pyarrow.compute as pc
+
+        from ..stages.extract_stage import binary_views
+
+        payloads = binary_views(t["html"])  # zero-copy: hash without memcpy
         hashes = content_hash_batch(payloads, prompt, ENGINE_ID, params)
+        sids = t["shard_id"].to_pylist()
+        rids = t["row_idx"].to_pylist()
         seen: set[str] = set()
-        kept: list[bytes | None] = []
+        keep_payload: list[bool] = []
         keys: list[str] = []
         for i, h in enumerate(hashes):
             if not h:  # empty payload → singleton salted key, no dedup
-                keys.append(f"~e~{t['shard_id'][i].as_py()}~{t['row_idx'][i].as_py()}")
-                kept.append(payloads[i])
+                keys.append(f"~e~{sids[i]}~{rids[i]}")
+                keep_payload.append(True)
                 continue
             keys.append(h)
             if h in seen:
-                kept.append(None)  # payload already crosses once for this batch
+                keep_payload.append(False)  # payload crosses once per batch
             else:
                 seen.add(h)
-                kept.append(payloads[i])
+                keep_payload.append(True)
         n = len(hashes)
+        # null out duplicate payloads IN Arrow (no Python round-trip of
+        # the kept payload bytes)
+        html_col = pc.if_else(
+            pa.array(keep_payload, pa.bool_()),
+            t["html"],
+            pa.scalar(None, t["html"].type),
+        )
         return pa.table(
             {
                 "dedup_key": pa.array(keys, pa.string()),
@@ -73,7 +86,7 @@ def _hash_and_collapse(prompt: str, params: dict[str, str] | None):
                 "url": t["url"],
                 "shard_id": t["shard_id"],
                 "row_idx": t["row_idx"],
-                "html": pa.array(kept, pa.binary()),
+                "html": html_col,
                 "kind": pa.array(["row"] * n, pa.string()),
                 "cached_text": pa.array([None] * n, pa.large_string()),
                 "cached_success": pa.array([None] * n, pa.bool_()),

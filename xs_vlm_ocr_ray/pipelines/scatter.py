@@ -56,7 +56,12 @@ class _SplitStage:
         self.params = dict(params or {})
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        payloads = t["html"].to_pylist()
+        from ..stages.extract_stage import binary_views
+
+        # zero-copy views: hashing and the small-doc passthrough never
+        # memcpy the payload (pa.array accepts buffer-protocol objects);
+        # only the rare giant-doc split materializes bytes
+        payloads = binary_views(t["html"])
         hashes = content_hash_batch(payloads, self.prompt, ENGINE_ID, self.params)
         urls = t["url"].to_pylist()
         sids = t["shard_id"].to_pylist()
@@ -67,7 +72,7 @@ class _SplitStage:
         }
         for url, p, h, sid, rid in zip(urls, payloads, hashes, sids, rids):
             if p is not None and len(p) > self.threshold:
-                segs = split_html(p, self.segment)
+                segs = split_html(bytes(p), self.segment)
             else:
                 segs = [p]
             n = len(segs)
@@ -105,7 +110,9 @@ class _SegmentExtractor:
         extract_html(b"<p>warmup</p>")
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        segs = t["seg"].to_pylist()
+        from ..stages.extract_stage import binary_views
+
+        segs = binary_views(t["seg"])
         n = len(segs)
         success = [False] * n
         error = [""] * n

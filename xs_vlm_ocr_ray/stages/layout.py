@@ -95,7 +95,9 @@ class LayoutExtractor:
         fake_layout_model(b"warmup")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["html"].to_pylist()
+        from .extract_stage import binary_views
+
+        payloads = binary_views(batch["html"])  # zero-copy Arrow views
         n = len(payloads)
         success = [False] * n
         error = [""] * n
