@@ -95,3 +95,63 @@ def test_invalid_utf8_replaced_not_raised():
     r = extract_html(b"<p>ok \xff\xfe</p>")
     assert r.success
     assert "ok" in r.full_text
+
+
+class TestBinaryViews:
+    """Zero-copy payload views: exact bytes across chunking, slicing
+    (non-zero Arrow offsets), nulls, and both binary widths."""
+
+    def _roundtrip(self, col):
+        from xs_vlm_ocr_ray.stages.extract_stage import binary_views
+
+        return [None if v is None else bytes(v) for v in binary_views(col)]
+
+    def test_plain_and_nulls(self):
+        import pyarrow as pa
+
+        vals = [b"abc", None, b"", b"\xff\xfe", b"longer payload here"]
+        assert self._roundtrip(pa.array(vals, pa.binary())) == vals
+        assert self._roundtrip(pa.array(vals, pa.large_binary())) == vals
+
+    def test_sliced_chunk_nonzero_offset(self):
+        import pyarrow as pa
+
+        vals = [b"a", b"bb", b"ccc", b"dddd", b"eeeee"]
+        arr = pa.array(vals, pa.binary()).slice(2, 2)
+        assert self._roundtrip(arr) == [b"ccc", b"dddd"]
+        big = pa.array(vals, pa.large_binary()).slice(1, 3)
+        assert self._roundtrip(big) == [b"bb", b"ccc", b"dddd"]
+
+    def test_chunked_with_empty_chunk(self):
+        import pyarrow as pa
+
+        col = pa.chunked_array(
+            [
+                pa.array([b"x", b"yy"], pa.binary()),
+                pa.array([], pa.binary()),
+                pa.array([None, b"z"], pa.binary()),
+            ]
+        )
+        assert self._roundtrip(col) == [b"x", b"yy", None, b"z"]
+
+    def test_sliced_with_nulls(self):
+        import pyarrow as pa
+
+        vals = [b"a", None, b"c", None, b"e", b"f"]
+        arr = pa.array(vals, pa.binary()).slice(1, 4)
+        assert self._roundtrip(arr) == [None, b"c", None, b"e"]
+
+    def test_views_are_zero_copy(self):
+        import pyarrow as pa
+
+        from xs_vlm_ocr_ray.stages.extract_stage import binary_views
+
+        arr = pa.array([b"hello world"], pa.binary())
+        v = binary_views(arr)[0]
+        assert isinstance(v, memoryview)
+        # the view aliases the Arrow data buffer, not a copy
+        import ctypes
+
+        buf_addr = arr.buffers()[-1].address
+        view_addr = ctypes.addressof(ctypes.c_char.from_buffer(v))
+        assert buf_addr <= view_addr < buf_addr + arr.buffers()[-1].size
