@@ -184,6 +184,53 @@ def save_config(cfg: EngineConfig, path: str) -> None:
             os.unlink(tmp)
 
 
+class ConfigWatcher:
+    """T8: hot config reload between pipeline waves.
+
+    The reference's ConfigManager emits ``configChanged`` when the
+    settings dialog saves, and the next submission picks the new config
+    up (src/utils/ConfigManager.cpp:30-47 + MainWindow's reload slots).
+    A streaming-batch engine has the same natural reload point: between
+    waves. ``poll()`` re-stats the file and reloads iff (mtime, size)
+    changed — call it before building each wave's actor pools; the new
+    engine kwargs apply to every subsequent wave without restarting the
+    driver. Errors during reload keep the last good config (a broken
+    half-written file must never take down a running job) and are
+    reported in the return value."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._stamp: tuple[int, int] | None = None
+        self.config: EngineConfig | None = None
+        self.last_error: str = ""
+        self.poll()
+
+    def _stat(self) -> tuple[float, int] | None:
+        try:
+            st = os.stat(self.path)
+        except OSError:
+            return None
+        # nanosecond mtime: same-second rewrites still change the stamp
+        return (st.st_mtime_ns, st.st_size)
+
+    def poll(self) -> bool:
+        """Reload if the file changed; returns True iff a NEW config was
+        loaded. Keeps the previous config on read/parse errors."""
+        stamp = self._stat()
+        if stamp is None or stamp == self._stamp:
+            return False
+        try:
+            cfg = load_config(self.path)
+        except EngineConfigError as exc:
+            self.last_error = str(exc)
+            self._stamp = stamp  # don't re-parse the same broken bytes
+            return False
+        self.config = cfg
+        self.last_error = ""
+        self._stamp = stamp
+        return True
+
+
 def resolve_provider_params(model: ModelConfig, providers: dict[str, ProviderConfig]) -> dict[str, str]:
     """T7/J1: model params with api_key/api_host inherited from the
     provider iff unset on the model (ConfigManager.cpp:192-207).

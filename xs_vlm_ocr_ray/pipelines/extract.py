@@ -60,9 +60,15 @@ def build_extract_ds(
       ``__init__`` setup — the reference's adapter-initialize semantics
       (T1). Pass an explicit ``batch_size`` sized so a batch ≈ 1-4 s.
     """
-    ds = read_pages(
-        sf_dir_or_paths, columns=["url", "html"], skip_shards=skip_shards
-    )
+    if isinstance(sf_dir_or_paths, rd.Dataset):
+        # pre-built pages source (e.g. the S2 drag-drop union,
+        # sources.pages.read_dropped_files) — must already carry
+        # (url, html, shard_id, row_idx)
+        ds = sf_dir_or_paths
+    else:
+        ds = read_pages(
+            sf_dir_or_paths, columns=["url", "html"], skip_shards=skip_shards
+        )
     if classify:
         ds = ds.map_batches(classify_payload_kind, batch_format="pyarrow")
     kwargs = dict(engine_kwargs or {})
@@ -244,6 +250,42 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
         return out.drop_columns(["path"])
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def preload_recent(
+    out_dir: str, limit: int = 50
+) -> "dict[str, dict]":
+    """O4: preload the most recent ``limit`` successful results into a
+    driver-side memory cache keyed by content_hash — the reference's
+    startup warm cache (HistoryManager::loadHistory,
+    src/managers/HistoryManager.cpp:84-115: ``ORDER BY timestamp DESC
+    LIMIT max_history`` into m_memoryHistory, used to accelerate cache
+    hits; image payloads deliberately NOT loaded).
+
+    Recency here is the lineage order (shard_id, row_idx) — the engine's
+    monotone processing order (the timestamp analog). The distributed
+    plan prunes columns (payloads never loaded, like the reference),
+    sorts on the bounded result store and takes only ``limit`` rows to
+    the driver."""
+    ds = read_results(
+        out_dir, columns=["url", "success", "content_hash", "extracted_text", "row_idx"]
+    )
+
+    def keep_success(t: pa.Table) -> pa.Table:
+        return t.filter(t["success"])
+
+    recent = (
+        ds.map_batches(keep_success, batch_format="pyarrow")
+        .sort(["shard_id", "row_idx"], descending=[True, True])
+        .limit(limit)
+        .to_pandas()
+    )
+    out: dict[str, dict] = {}
+    for _, r in recent.iterrows():
+        h = r["content_hash"]
+        if h and h not in out:
+            out[h] = {"url": r["url"], "extracted_text": r["extracted_text"]}
+    return out
 
 
 class _ShardWriter:

@@ -107,6 +107,30 @@ def result_to_doc(text: str, path: str) -> None:
     _write_bytes(path, result_doc_html(text).encode("utf-8"))
 
 
+def copy_result_text(df, url: str | None = None) -> str:
+    """K7: clipboard sink — the reference copies ONE result's fullText
+    to the system clipboard (MainWindow.cpp:1989,
+    ClipboardManager::copyText, src/managers/ClipboardManager.cpp:17-27;
+    empty text is refused and nothing is copied).
+
+    Headless analog: select the result row (by ``url``, else the first
+    row) and RETURN its extracted_text — the caller owns the actual
+    clipboard integration. Empty text returns "" (the reference's
+    refusal), never raises."""
+    import pandas as pd
+
+    if not isinstance(df, pd.DataFrame):  # Dataset / pa.Table
+        df = df.to_pandas() if hasattr(df, "to_pandas") else pd.DataFrame(df)
+    if df.empty:
+        return ""
+    if url is not None:
+        df = df[df["url"] == url]
+        if df.empty:
+            return ""
+    text = df.iloc[0]["extracted_text"]
+    return text or ""
+
+
 def _write_bytes(path: str, data: bytes) -> None:
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)

@@ -152,3 +152,64 @@ def read_pages_simple(
     """Plain parallel read with column pruning (no lineage columns)."""
     paths = list_shards(sf_dir)
     return rd.read_parquet(paths, columns=columns, **kwargs)
+
+
+def read_dropped_files(paths: list[str]) -> rd.Dataset:
+    """S2: drag-drop ingestion — a heterogeneous list of user-supplied
+    file paths routed by extension, mirroring the reference's dropEvent
+    (src/ui/MainWindow.cpp:2557-2593: one image → direct load, many
+    files → batch processing; both land in the same extraction path).
+
+    Ray-native routing:
+    - ``.parquet`` files → the lineage-preserving ``read_pages`` reader
+      (each dropped shard gets its shard_id from the sorted drop list);
+    - any other file → ONE page row whose payload is the raw file bytes
+      and whose ``url`` is the absolute path (``file://`` scheme), read
+      inside the task, never on the driver.
+
+    The two branches union into a single Dataset with the standard
+    pages schema (url, html, shard_id, row_idx) and flow through the
+    SAME downstream classify → extract pipeline — exactly the
+    reference's design, where drag-drop is a submit source, not a
+    separate engine path."""
+    parquet = [p for p in paths if p.endswith(".parquet")]
+    raw = [p for p in paths if not p.endswith(".parquet")]
+    parts: list[rd.Dataset] = []
+    if parquet:
+        # prune to the union schema (url, html) + lineage
+        parts.append(read_pages(sorted(parquet), columns=["url", "html"]))
+    if raw:
+        # raw files numbered after the parquet shards, one row each;
+        # bytes are read inside the task (driver ships only paths)
+        base = len(parquet)
+        items = [
+            {"path": os.path.abspath(p), "shard_id": base + i}
+            for i, p in enumerate(sorted(raw))
+        ]
+
+        def load(batch: pa.Table) -> pa.Table:
+            payloads, urls, sids = [], [], []
+            for item in batch.to_pylist():
+                with open(item["path"], "rb") as f:
+                    payloads.append(f.read())
+                urls.append("file://" + item["path"])
+                sids.append(item["shard_id"])
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "html": pa.array(payloads, pa.binary()),
+                    "shard_id": pa.array(sids, pa.int32()),
+                    "row_idx": pa.array([0] * len(urls), pa.int64()),
+                }
+            )
+
+        files_ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            load, batch_format="pyarrow"
+        )
+        parts.append(files_ds)
+    if not parts:
+        return read_pages([])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
