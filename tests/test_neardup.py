@@ -77,3 +77,58 @@ def test_embedding_neardup_exact(ray_session):
     assert set(zip(got["a"], got["b"])) == want
     if len(got):
         assert (got["sim"] >= 0.4).all()
+
+
+def test_simhash_cached_equals_pure(ray_session):
+    """The per-actor memoized path must produce byte-identical
+    fingerprints to the pure reference implementation."""
+    import pyarrow as pa
+
+    from xs_vlm_ocr_ray.stages.dedup import SimHasher
+
+    texts = [
+        "",
+        "one token",
+        "repeat repeat repeat repeat distinct words here",
+        "the quick brown fox jumps over the lazy dog the the the",
+        "unicode tökens ünd ßpecial 中文 词语 中文",
+    ]
+    h = SimHasher()
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = h(t)
+    for i, x in enumerate(texts):
+        assert out["simhash"][i].as_py() == SimHasher.simhash64(x)
+    # second pass hits the cache and must still agree
+    out2 = h(t)
+    assert out2["simhash"].to_pylist() == out["simhash"].to_pylist()
+
+
+def test_dedup_exact_winner_election(ray_session):
+    """dedup_exact keeps exactly the min-order row per key (both the
+    broadcast path and the semi-join fallback)."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import dedup_exact
+
+    df = pd.DataFrame(
+        {
+            "content_hash": ["a", "b", "a", "c", "b", "a"],
+            "doc_id": [5, 2, 1, 9, 7, 3],
+            "payload": ["p5", "p2", "p1", "p9", "p7", "p3"],
+        }
+    )
+    want = (
+        df.sort_values("doc_id")
+        .drop_duplicates("content_hash", keep="first")
+        .sort_values("content_hash")
+        .reset_index(drop=True)
+    )
+    for limit in (5_000_000, 0):  # broadcast path, then join fallback
+        out = (
+            dedup_exact(rd.from_pandas(df), broadcast_limit=limit)
+            .to_pandas()
+            .sort_values("content_hash")
+            .reset_index(drop=True)[want.columns]
+        )
+        pd.testing.assert_frame_equal(out, want)

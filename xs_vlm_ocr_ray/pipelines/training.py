@@ -144,12 +144,23 @@ def build_training_ds(
         return mat.map_batches(keep_winners, batch_format="pyarrow")
 
     # scale fallback: semi-join the winner keys back by hash shuffle
+    # (partition count CPU-bounded — join aggregators are actors and
+    # deadlock when partitions exceed schedulable CPUs)
+    from ..stages.dedup import _join_partitions
+
     winners_ds = rd.from_pandas(winners_df[["order_min"]])
     joined = mat.join(
-        winners_ds, join_type="inner", num_partitions=64,
+        winners_ds, join_type="inner", num_partitions=_join_partitions(),
         on=("_order",), right_on=("order_min",),
     )
-    return joined.drop_columns(["_order", "order_min"])
+
+    def strip(t: pa.Table) -> pa.Table:
+        # the join may or may not carry the right-side key through
+        return t.drop_columns(
+            [c for c in ("_order", "order_min") if c in t.column_names]
+        )
+
+    return joined.map_batches(strip, batch_format="pyarrow")
 
 
 def run_training_pipeline(

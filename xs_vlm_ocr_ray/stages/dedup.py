@@ -66,19 +66,72 @@ def dedup_exact_stats(
 
 
 def dedup_exact(
-    ds: rd.Dataset, key: str = "content_hash", order_col: str = "doc_id"
+    ds: rd.Dataset,
+    key: str = "content_hash",
+    order_col: str = "doc_id",
+    broadcast_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """Keep exactly one row per key — the one with the smallest
-    ``order_col`` (deterministic winner). Hash-partition shuffle."""
+    ``order_col`` (deterministic winner).
+
+    Plan (same as pipelines/training.py's dedup tail): never shuffle the
+    full rows. Within-batch collapse → checkpoint (materialize; spills
+    at scale, strictly cheaper than sort-shuffling the same bytes) →
+    winner election over only (key, order_col) via partial-min + tiny
+    groupby → broadcast the winner order-key set into a streaming
+    ``is_in`` filter. Requires ``order_col`` values to be UNIQUE across
+    rows (they identify the winners); falls back to a hash-shuffle
+    semi-join when the winner set exceeds ``broadcast_limit``."""
+    import pyarrow.compute as pc
+
+    import ray
 
     def within_batch(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order_col, kind="mergesort").head(1)
+    mat = ds.map_batches(within_batch, batch_format="pandas").materialize()
 
-    pre = ds.map_batches(within_batch, batch_format="pandas")
-    return pre.groupby(key).map_groups(per_group, batch_format="pandas")
+    def partial_min(t: pa.Table) -> pa.Table:
+        g = t.select([key, order_col]).group_by(key).aggregate([(order_col, "min")])
+        return g.rename_columns([key, "order_part"])
+
+    winners_df = (
+        mat.map_batches(partial_min, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Min("order_part", alias_name="order_min"))
+        .to_pandas()
+    )
+
+    if len(winners_df) <= broadcast_limit:
+        ref = ray.put(pa.array(np.sort(winners_df["order_min"].to_numpy())))
+
+        def keep_winners(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[order_col], value_set=ray.get(ref)))
+
+        return mat.map_batches(keep_winners, batch_format="pyarrow")
+
+    winners_ds = rd.from_pandas(winners_df[["order_min"]])
+    joined = mat.join(
+        winners_ds, join_type="inner", num_partitions=_join_partitions(),
+        on=(order_col,), right_on=("order_min",),
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        # the join may or may not carry the right-side key through
+        return t.drop_columns([c for c in ("order_min",) if c in t.column_names])
+
+    return joined.map_batches(strip, batch_format="pyarrow")
+
+
+def _join_partitions(cap: int = 64) -> int:
+    """Hash-join partition count bounded by cluster CPUs: Ray's shuffle
+    join schedules one aggregator ACTOR per partition, so a partition
+    count above the CPU count deadlocks small clusters (observed: 64
+    partitions on a 4-CPU session never schedules)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(cap, cpus))
 
 
 # --- MinHash + LSH near-dup ---------------------------------------------
@@ -420,11 +473,22 @@ def ngram_jaccard_pairs(
 
 
 class SimHasher:
-    """text → 64-bit SimHash (token-hash bit votes)."""
+    """text → 64-bit SimHash (token-hash bit votes).
+
+    Worker-state optimization (T1 pattern): token bit-vote vectors are
+    memoized per actor/worker — real corpora are Zipf-distributed, so
+    after warm-up nearly every token hash is a dict hit instead of a
+    blake2b call; per document, votes are accumulated over UNIQUE tokens
+    weighted by count (one numpy op per distinct token, not per
+    occurrence). ``simhash64`` stays the pure uncached reference
+    implementation (tests compare against it)."""
+
+    _CACHE_MAX = 1 << 20  # ~64 MB of int8 vectors at worst
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
+        self._votes_cache: dict[str, np.ndarray] = {}
 
     @staticmethod
     def simhash64(text: str) -> int:
@@ -440,8 +504,33 @@ class SimHasher:
         out = np.packbits((votes > 0).astype(np.uint8))
         return int.from_bytes(out.tobytes(), "big")
 
+    def _tok_votes(self, tok: str) -> np.ndarray:
+        v = self._votes_cache.get(tok)
+        if v is None:
+            bits = np.unpackbits(
+                np.frombuffer(
+                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                    dtype=np.uint8,
+                )
+            )
+            v = bits.astype(np.int8) * 2 - 1
+            if len(self._votes_cache) < self._CACHE_MAX:
+                self._votes_cache[tok] = v
+        return v
+
+    def _simhash64_cached(self, text: str) -> int:
+        if not text:
+            return 0
+        from collections import Counter
+
+        votes = np.zeros(64, dtype=np.int64)
+        for tok, cnt in Counter(text.split()).items():
+            votes += self._tok_votes(tok).astype(np.int64) * cnt
+        out = np.packbits((votes > 0).astype(np.uint8))
+        return int.from_bytes(out.tobytes(), "big")
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs = [self.simhash64(x or "") for x in t[self.text_col].to_pylist()]
+        hs = [self._simhash64_cached(x or "") for x in t[self.text_col].to_pylist()]
         return pa.table(
             {self.id_col: t[self.id_col], "simhash": pa.array(hs, pa.uint64())}
         )
