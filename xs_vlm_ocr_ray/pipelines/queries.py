@@ -37,6 +37,15 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(_p(sf_dir, table), columns=columns)
 
 
+def _join_partitions(cap: int = 8) -> int:
+    # Ray's shuffle join runs one aggregator ACTOR per partition;
+    # partitions > schedulable CPUs deadlock small sessions (see
+    # stages/dedup._join_partitions)
+    from ..stages.dedup import _join_partitions as jp
+
+    return jp(cap)
+
+
 def _round2(x):
     return pc.round(x, ndigits=2)
 
@@ -253,7 +262,7 @@ def q4_priority_exists(sf_dir: str) -> pd.DataFrame:
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = orders.join(
-        distinct_keys, join_type="inner", num_partitions=8,
+        distinct_keys, join_type="inner", num_partitions=_join_partitions(8),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -300,7 +309,7 @@ def q_orders_anti_join(sf_dir: str) -> pd.DataFrame:
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = orders.join(
-        distinct_keys, join_type="left_outer", num_partitions=8,
+        distinct_keys, join_type="left_outer", num_partitions=_join_partitions(8),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -668,7 +677,7 @@ def q_orders_join_shuffle(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8,
+        cust, join_type="inner", num_partitions=_join_partitions(8),
         on=("o_custkey",), right_on=("c_custkey",),
     )
 
