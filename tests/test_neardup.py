@@ -132,3 +132,30 @@ def test_dedup_exact_winner_election(ray_session):
             .reset_index(drop=True)[want.columns]
         )
         pd.testing.assert_frame_equal(out, want)
+
+
+def test_neardup_clusters_chains():
+    """Near-dup is not transitive: clustering must merge chains
+    (a~b, b~c => one cluster {a,b,c}) with min-id representatives."""
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.stages.dedup import neardup_clusters
+
+    pairs = pd.DataFrame({"a": [1, 2, 10, 30], "b": [2, 3, 11, 20]})
+    out = neardup_clusters(pairs).set_index("doc_id")["cluster_id"]
+    assert out.to_dict() == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 30: 20}
+    empty = neardup_clusters(pd.DataFrame({"a": [], "b": []}))
+    assert len(empty) == 0 and list(empty.columns) == ["doc_id", "cluster_id"]
+
+
+def test_drop_neardups(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import drop_neardups
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 50], "text": list("abcdez")})
+    pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    out = drop_neardups(rd.from_pandas(docs), pairs).to_pandas()
+    # keepers: 1 (cluster {1,2,3}), 10 (cluster {10,11}), 50 (unpaired)
+    assert sorted(out["doc_id"]) == [1, 10, 50]

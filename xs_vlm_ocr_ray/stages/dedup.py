@@ -759,3 +759,72 @@ def _embedding_neardup_bucketed(
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+
+
+# --- near-dup clustering (connected components over pair lists) ----------
+
+
+def neardup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over a near-dup pair list → cluster ids.
+
+    ``pairs`` is the (a, b) output of any pair generator here
+    (minhash+LSH verify, simhash, n-gram Jaccard, embedding cosine) —
+    small by construction (the generators bound it with skew guards), so
+    the union-find runs driver-side. Returns one row per doc that
+    appears in any pair: (doc_id, cluster_id) with
+    ``cluster_id = min doc_id of the component`` (deterministic).
+
+    This is the standard step between "pairs" and "drop duplicates":
+    near-dup is not transitive, and clustering makes the keep/drop
+    decision consistent across chains (a~b, b~c ⇒ one keeper for
+    {a, b, c}, even if a≁c directly)."""
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller id → the root IS the min of the component
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    ids = sorted(set(pairs["a"].astype(int)) | set(pairs["b"].astype(int)))
+    return pd.DataFrame(
+        {"doc_id": pd.Series(ids, dtype="int64"),
+         "cluster_id": pd.Series([find(i) for i in ids], dtype="int64")}
+    )
+
+
+def drop_neardups(
+    docs_ds: rd.Dataset, pairs: pd.DataFrame, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Keep one representative per near-dup cluster (the min-id member)
+    plus every unpaired doc. The DROP set (non-representative members of
+    clusters — bounded by the number of near-dup docs, not the corpus)
+    is broadcast via ``ray.put`` into a streaming filter; the corpus is
+    never shuffled or materialized."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    clusters = neardup_clusters(pairs)
+    drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+    ref = ray.put(pa.array(np.sort(drop.to_numpy()), pa.int64()))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t[id_col], value_set=ray.get(ref)))
+        )
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
