@@ -92,3 +92,56 @@ def test_write_results_jsonl(ray_session, tiny_pages_dir, tmp_path):
             rows.extend(json.loads(line) for line in fh if line.strip())
     assert len(rows) == 200
     assert {"url", "extracted_text", "success"} <= set(rows[0])
+
+
+def test_result_to_pdf(tmp_path):
+    """K5: the minimal PDF writer emits a structurally valid PDF."""
+    from xs_vlm_ocr_ray.sinks.export import pdf_bytes, result_to_pdf
+
+    text = "Hello PDF\nsecond (line) with \\ specials\n" + "\n".join(
+        f"line {i}" for i in range(80)
+    )
+    raw = pdf_bytes(text)
+    assert raw.startswith(b"%PDF-1.4\n") and raw.endswith(b"%%EOF\n")
+    # 82 lines at 54/page -> 2 pages, each with page + content objects
+    assert raw.count(b"/Type /Page ") == 2
+    assert b"/Count 2" in raw
+    assert b"(Hello PDF) Tj" in raw
+    assert b"(second \\(line\\) with \\\\ specials) Tj" in raw
+    # xref offsets must point at the actual object headers
+    import re
+
+    xref_pos = int(raw.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    assert raw[xref_pos : xref_pos + 4] == b"xref"
+    entries = re.findall(rb"(\d{10}) 00000 n", raw)
+    for num, off in enumerate(entries, start=1):
+        assert raw[int(off) : int(off) + len(b"%d 0 obj" % num)] == b"%d 0 obj" % num
+
+    p = str(tmp_path / "out.pdf")
+    result_to_pdf("unicode dégradé 中文", p)
+    body = open(p, "rb").read()
+    assert body.startswith(b"%PDF-") and b"(unicode d\xe9grad\xe9 ??) Tj" in body
+
+
+def test_write_payload_files(ray_session, tiny_pages_dir, tmp_path):
+    """K2: distributed payload-file sink, hash-named, idempotent."""
+    import glob as _glob
+    import hashlib
+
+    from xs_vlm_ocr_ray.sinks.export import write_payload_files
+    from xs_vlm_ocr_ray.sources.pages import read_pages
+
+    out = str(tmp_path / "payloads")
+    ds = read_pages(tiny_pages_dir, columns=["url", "html"])
+    n = write_payload_files(ds, out)
+    files = _glob.glob(out + "/*.bin")
+    # 200 pages, some planted empty payloads skipped; distinct contents
+    assert n > 150 and len(files) > 150
+    # file name == md5 of its content (the sink contract)
+    f = files[0]
+    data = open(f, "rb").read()
+    assert os.path.basename(f) == hashlib.md5(data).hexdigest() + ".bin"
+    # idempotent rerun: same file set, no .tmp leftovers
+    n2 = write_payload_files(read_pages(tiny_pages_dir, columns=["url", "html"]), out)
+    assert n2 == n
+    assert sorted(_glob.glob(out + "/*")) == sorted(files)

@@ -107,6 +107,118 @@ def result_to_doc(text: str, path: str) -> None:
     _write_bytes(path, result_doc_html(text).encode("utf-8"))
 
 
+def result_to_pdf(text: str, path: str) -> None:
+    """K5: PDF export. The reference renders the result text through
+    QPrinter into a PDF wrapped in ``<pre>`` (MainWindow.cpp:1843-1854).
+    Here: a minimal, dependency-free, deterministic PDF 1.4 writer —
+    one Helvetica text object per page, 54 lines/page, parenthes-escaped
+    Latin-1 text (non-encodable chars degrade to '?'; a real deployment
+    embeds a Unicode font). Valid per the PDF spec: catalog → page tree
+    → page(s) → content stream(s), correct xref offsets."""
+    _write_bytes(path, pdf_bytes(text))
+
+
+_PDF_LINES_PER_PAGE = 54
+_PDF_FONT_SIZE = 11
+_PDF_LEADING = 13
+
+
+def _pdf_escape(line: str) -> bytes:
+    raw = line.encode("latin-1", errors="replace")
+    return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def pdf_bytes(text: str) -> bytes:
+    """Deterministic single-font PDF document bytes for ``text``."""
+    lines = text.split("\n")
+    pages = [
+        lines[i : i + _PDF_LINES_PER_PAGE]
+        for i in range(0, max(len(lines), 1), _PDF_LINES_PER_PAGE)
+    ] or [[""]]
+
+    objs: list[bytes] = []  # 1-indexed PDF objects, in object-number order
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages tree, 3 font,
+    # then per page i: (4 + 2i) page object, (5 + 2i) content stream
+    kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages)
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, page_lines in enumerate(pages):
+        content = bytearray()
+        content += b"BT /F1 %d Tf 1 0 0 1 54 770 Tm %d TL\n" % (
+            _PDF_FONT_SIZE,
+            _PDF_LEADING,
+        )
+        for ln in page_lines:
+            content += b"(" + _pdf_escape(ln) + b") Tj T*\n"
+        content += b"ET"
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (5 + 2 * i)
+        )
+        objs.append(
+            b"<< /Length %d >>\nstream\n" % len(content) + bytes(content) + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]  # object 0 is the free head
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(out)
+
+
+def write_payload_files(
+    ds: rd.Dataset,
+    out_dir: str,
+    payload_col: str = "html",
+    ext: str = "bin",
+) -> int:
+    """K2: payload-file sink — persist each row's binary payload as its
+    own file, named by content hash (the engine's deterministic,
+    collision-free analog of the reference's timestamp-named image saves,
+    HistoryManager.cpp:284-293). Distributed: every task writes its own
+    batch's files; identical payloads coalesce to one file (idempotent,
+    retry-safe). Returns the number of rows with a non-empty payload."""
+    import hashlib
+
+    import pyarrow as pa
+
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        from ..stages.extract_stage import binary_views
+
+        n = 0
+        for v in binary_views(t[payload_col]):
+            if v is None or len(v) == 0:
+                continue
+            name = hashlib.md5(v).hexdigest()
+            p = os.path.join(out_dir, f"{name}.{ext}")
+            if not os.path.exists(p):  # dedup + retry-safe
+                tmp = f"{p}.{os.getpid()}.tmp"  # per-writer tmp: no cross-task clash
+                with open(tmp, "wb") as f:
+                    f.write(v)
+                os.replace(tmp, p)
+            n += 1
+        return pa.table({"n_written": pa.array([n], pa.int64())})
+
+    parts = ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    return int(parts["n_written"].sum())
+
+
 def copy_result_text(df, url: str | None = None) -> str:
     """K7: clipboard sink — the reference copies ONE result's fullText
     to the system clipboard (MainWindow.cpp:1989,
