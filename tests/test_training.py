@@ -47,8 +47,62 @@ def test_training_write_roundtrip(ray_session, mirror_dir, tmp_path):
 
     from xs_vlm_ocr_ray.pipelines.training import run_training_pipeline
 
-    out = str(tmp_path / "curated")
+    out = str(tmp_path / "curation")
     s = run_training_pipeline(mirror_dir, out_dir=out)
-    back = rd.read_parquet(out).to_pandas()
+    # new layout: stage1 checkpoint + derived curated store
+    back = rd.read_parquet(out + "/curated").to_pandas()
     assert len(back) == s["n_curated"]
     assert {"url", "extracted_text", "lang_pred", "quality", "n_tokens"} <= set(back.columns)
+
+
+def test_training_pipeline_resumable(ray_session, tiny_pages_dir, tmp_path):
+    """out_dir path: stage 1 checkpoints via the wave/manifest
+    machinery; an interrupted run resumes with only the pending shards,
+    and the curated output equals the in-memory path."""
+    from xs_vlm_ocr_ray.pipelines.extract import run_extract
+    from xs_vlm_ocr_ray.pipelines.training import (
+        build_filtered_ds,
+        build_training_ds,
+        run_training_pipeline,
+    )
+
+    out = str(tmp_path / "curation")
+    stage1 = out + "/stage1"
+
+    # simulate an interrupted run: only the first wave (2 of 4 shards)
+    partial = run_extract(
+        tiny_pages_dir, stage1, wave_shards=2, max_waves=1,
+        ds_builder=lambda paths, skip: build_filtered_ds(paths, skip_shards=skip),
+    )
+    assert partial["waves"] == 1
+
+    # resume to completion through the public runner
+    summary = run_training_pipeline(tiny_pages_dir, out_dir=out, wave_shards=2)
+    assert summary["stage1_waves"] == 1  # only the pending wave ran
+    assert summary["n_input"] == 200
+    assert summary["n_curated"] > 0
+
+    import ray.data as rd
+
+    got = (
+        rd.read_parquet(out + "/curated")
+        .to_pandas()
+        .sort_values(["shard_id", "row_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        build_training_ds(tiny_pages_dir)
+        .to_pandas()
+        .sort_values(["shard_id", "row_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == summary["n_curated"]
+    cols = [c for c in want.columns if c != "processing_ms"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+    # idempotent re-run: stage 1 fully manifested -> zero new waves
+    again = run_training_pipeline(tiny_pages_dir, out_dir=out, wave_shards=2)
+    assert again["stage1_waves"] == 0
+    assert again["n_curated"] == summary["n_curated"]

@@ -108,6 +108,7 @@ def run_extract(
     resume: bool = True,
     wave_shards: int | None = None,
     max_waves: int | None = None,
+    ds_builder=None,
 ) -> dict:
     """Execute the flagship pipeline with checkpoint/resume.
 
@@ -116,6 +117,13 @@ def run_extract(
     point leaves either nothing or a ``.tmp-`` directory that readers
     ignore, never a half-recorded shard. ``max_waves`` bounds this run
     (incremental processing / crash simulation in tests).
+
+    ``ds_builder`` generalizes the wave machinery to OTHER per-shard
+    chains (e.g. the training pipeline's extract→annotate→filter
+    stage): a callable ``(shard_paths, skip_shards) -> Dataset`` whose
+    output rows carry the writer contract columns (shard_id, row_idx,
+    success, processing_ms, content_hash). Default: the flagship
+    extraction chain.
 
     Returns a summary dict (rows, successes, wall seconds, waves run).
     """
@@ -149,14 +157,17 @@ def run_extract(
             # manifest write): the shards are pending, so redo the wave
             shutil.rmtree(wave_dir)
         skip = frozenset(set(range(len(paths))) - set(wave))
-        ds = build_extract_ds(
-            paths,
-            engine_cls=engine_cls,
-            engine_kwargs=engine_kwargs,
-            concurrency=concurrency,
-            batch_size=batch_size,
-            skip_shards=skip,
-        )
+        if ds_builder is not None:
+            ds = ds_builder(paths, skip)
+        else:
+            ds = build_extract_ds(
+                paths,
+                engine_cls=engine_cls,
+                engine_kwargs=engine_kwargs,
+                concurrency=concurrency,
+                batch_size=batch_size,
+                skip_shards=skip,
+            )
         t0 = time.perf_counter()
         # The writer is a map stage that FUSES into the extraction task:
         # each task writes its own (plain, non-hive) parquet file and

@@ -65,10 +65,11 @@ def build_routed_extract_ds(
     emit_spans: bool = True,
     concurrency=None,
     batch_size: int | None = None,
+    skip_shards=frozenset(),
 ) -> rd.Dataset:
     """classify → routed dual-engine extraction (task mode by default,
     actor pool with ``concurrency=N`` for heavy engines)."""
-    ds = read_pages(sf_dir_or_paths, columns=["url", "html"])
+    ds = read_pages(sf_dir_or_paths, columns=["url", "html"], skip_shards=skip_shards)
     ds = ds.map_batches(classify_payload_kind, batch_format="pyarrow")
     if concurrency is None:
         return ds.map_batches(

@@ -49,16 +49,22 @@ def _annotate(t: pa.Table) -> pa.Table:
     )
 
 
-def build_training_ds(
+def build_filtered_ds(
     sf_dir_or_paths,
     min_quality: float = 0.5,
     min_tokens: int = 20,
+    skip_shards=frozenset(),
 ) -> rd.Dataset:
-    """Lazy curated-dataset pipeline (filter → dedup keeps min-lineage
-    row per distinct extracted text)."""
+    """Stage 1 of the curation run: routed extract → annotate →
+    quality/length filter → within-batch collapse → lineage order key.
+    Pure per-shard map chain (no shuffle) — which is what makes it
+    checkpointable with the flagship's wave/manifest machinery
+    (``run_training_pipeline`` with ``out_dir``)."""
     import pyarrow.compute as pc
 
-    ds = build_routed_extract_ds(sf_dir_or_paths, emit_spans=False)
+    ds = build_routed_extract_ds(
+        sf_dir_or_paths, emit_spans=False, skip_shards=skip_shards
+    )
     ds = ds.map_batches(_annotate, batch_format="pyarrow")
 
     def keep(t: pa.Table) -> pa.Table:
@@ -69,6 +75,32 @@ def build_training_ds(
         return t.filter(mask)
 
     filtered = ds.map_batches(keep, batch_format="pyarrow")
+
+    def within_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["shard_id", "row_idx"], kind="mergesort").drop_duplicates(
+            "text_hash", keep="first"
+        )
+
+    def add_order(t: pa.Table) -> pa.Table:
+        # globally-unique lineage order key; row_idx < 2^44 per shard
+        order = pc.add(
+            pc.multiply(pc.cast(t["shard_id"], pa.int64()), pa.scalar(1 << 44, pa.int64())),
+            t["row_idx"],
+        )
+        return t.append_column("_order", order)
+
+    return filtered.map_batches(within_batch, batch_format="pandas").map_batches(
+        add_order, batch_format="pyarrow"
+    )
+
+
+def build_training_ds(
+    sf_dir_or_paths,
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+) -> rd.Dataset:
+    """Lazy curated-dataset pipeline (filter → dedup keeps min-lineage
+    row per distinct extracted text)."""
 
     # exact dedup, deterministic keeper = min (shard_id, row_idx) per
     # distinct text. The naive plan — groupby(text_hash).map_groups over
@@ -93,23 +125,15 @@ def build_training_ds(
     # a hash-shuffle semi-join on the order key instead — still only
     # one full-data exchange of PRE-DEDUPED rows, the strict worst case
     # the old plan always paid.
-    def within_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["shard_id", "row_idx"], kind="mergesort").drop_duplicates(
-            "text_hash", keep="first"
-        )
-
-    def add_order(t: pa.Table) -> pa.Table:
-        # globally-unique lineage order key; row_idx < 2^44 per shard
-        order = pc.add(
-            pc.multiply(pc.cast(t["shard_id"], pa.int64()), pa.scalar(1 << 44, pa.int64())),
-            t["row_idx"],
-        )
-        return t.append_column("_order", order)
-
-    pre = filtered.map_batches(within_batch, batch_format="pandas").map_batches(
-        add_order, batch_format="pyarrow"
-    )
+    pre = build_filtered_ds(sf_dir_or_paths, min_quality, min_tokens)
     mat = pre.materialize()
+    return dedup_by_winner(mat)
+
+
+def dedup_by_winner(mat: rd.Dataset) -> rd.Dataset:
+    """Stage 2: winner election + filter over a (checkpointed) stage-1
+    dataset carrying ``text_hash`` and ``_order`` columns."""
+    import pyarrow.compute as pc
 
     def partial_min(t: pa.Table) -> pa.Table:
         g = t.select(["text_hash", "_order"]).group_by("text_hash").aggregate(
@@ -168,22 +192,64 @@ def run_training_pipeline(
     out_dir: str | None = None,
     min_quality: float = 0.5,
     min_tokens: int = 20,
+    resume: bool = True,
+    wave_shards: int | None = None,
 ) -> dict:
-    """Execute; optionally write curated parquet. Returns gate counts."""
+    """Execute the curation run. Returns gate counts.
+
+    Without ``out_dir``: in-memory (object-store checkpoint) — the
+    bench/query path.
+
+    With ``out_dir``: RESUMABLE two-stage run, the 100 TB shape:
+
+    - stage 1 (``out_dir/stage1``): the per-shard map chain
+      (extract→annotate→filter→collapse) checkpointed through the
+      flagship's wave/manifest machinery — a crashed run resumes and
+      processes only the pending shards, exactly like ``run_extract``;
+    - stage 2 (``out_dir/curated``): winner election + filter reading
+      the stage-1 store — cheap, derived, idempotently rebuilt on every
+      call (its input is durable, so rerunning after a crash is free of
+      extraction cost).
+    """
+    import os
+
     from ..sources.pages import read_pages
 
     # input count from a column-pruned read — never re-run extraction
     # just to count its input
     total = read_pages(sf_dir_or_paths, columns=["url"]).count()
-    ds = build_training_ds(sf_dir_or_paths, min_quality, min_tokens)
-    if out_dir is not None:
-        # overwrite semantics: clear stale files first, or the count
-        # read-back would include a previous run's UUID-named files
-        import shutil
+    if out_dir is None:
+        kept = build_training_ds(sf_dir_or_paths, min_quality, min_tokens).count()
+        return {"n_input": total, "n_curated": kept, "n_dropped": total - kept}
 
-        shutil.rmtree(out_dir, ignore_errors=True)
-        ds.write_parquet(out_dir)
-        kept = rd.read_parquet(out_dir).count()
-    else:
-        kept = ds.count()
-    return {"n_input": total, "n_curated": kept, "n_dropped": total - kept}
+    from .extract import read_results, run_extract
+
+    out_dir = os.path.abspath(out_dir)
+    stage1 = os.path.join(out_dir, "stage1")
+
+    def builder(paths, skip):
+        return build_filtered_ds(
+            paths, min_quality, min_tokens, skip_shards=skip
+        )
+
+    s1 = run_extract(
+        sf_dir_or_paths, stage1, resume=resume, wave_shards=wave_shards,
+        ds_builder=builder,
+    )
+
+    curated_dir = os.path.join(out_dir, "curated")
+    import shutil
+
+    # stage 2 is derived state: rebuild it whole (overwrite semantics —
+    # stale files from a previous run's UUID names must not survive)
+    shutil.rmtree(curated_dir, ignore_errors=True)
+    curated = dedup_by_winner(read_results(stage1))
+    curated.write_parquet(curated_dir)
+    kept = rd.read_parquet(curated_dir).count()
+    return {
+        "n_input": total,
+        "n_curated": kept,
+        "n_dropped": total - kept,
+        "stage1_waves": s1["waves"],
+        "stage1_rows": s1["rows"],
+    }
