@@ -40,10 +40,12 @@ _STOPWORDS = {
 _ALL_STOP = frozenset().union(*_STOPWORDS.values())
 
 
-def quality_stats(text: str) -> dict:
-    """Length / punctuation / stopword heuristics (one row)."""
+def quality_stats(text: str, words: list[str] | None = None) -> dict:
+    """Length / punctuation / stopword heuristics (one row). Pass a
+    precomputed ``text.split()`` to share the tokenization with other
+    kernels in a fused annotate pass."""
     n_chars = len(text)
-    words = text.split()
+    words = text.split() if words is None else words
     n_words = len(words)
     n_punct = len(_PUNCT_RE.findall(text))
     n_stop = sum(1 for w in words if w.lower() in _ALL_STOP)
@@ -57,10 +59,10 @@ def quality_stats(text: str) -> dict:
     }
 
 
-def quality_score(text: str) -> float:
+def quality_score(text: str, words: list[str] | None = None) -> float:
     """Composite [0,1] quality heuristic: rewards mid-length documents,
     sane word lengths, some punctuation and stopword presence."""
-    s = quality_stats(text)
+    s = quality_stats(text, words)
     if s["n_words"] == 0:
         return 0.0
     length_term = min(1.0, s["n_words"] / 100.0)

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..functions.textstats import lang_id, quality_score, token_count_ws
+from ..functions.textstats import lang_id, quality_score
 from .routed import build_routed_extract_ds
 
 # Winner-set broadcast cap for the dedup election (int64 keys; 5M ≈
@@ -36,11 +36,20 @@ _WINNER_BROADCAST_LIMIT = 5_000_000
 
 def _annotate(t: pa.Table) -> pa.Table:
     texts = t["extracted_text"].to_pylist()
-    lang = [lang_id(x or "") for x in texts]
-    q = [quality_score(x or "") for x in texts]
-    toks = [token_count_ws(x or "") for x in texts]
     md5 = hashlib.md5
-    thash = [md5((x or "").encode("utf-8")).hexdigest() for x in texts]
+    lang: list[str] = []
+    q: list[float] = []
+    toks: list[int] = []
+    thash: list[str] = []
+    # fused per-doc pass: ONE split shared by quality + token count
+    # (lang_id keeps its own sample-bounded tokenization)
+    for x in texts:
+        x = x or ""
+        words = x.split()
+        lang.append(lang_id(x))
+        q.append(quality_score(x, words))
+        toks.append(len(words))
+        thash.append(md5(x.encode("utf-8")).hexdigest())
     return (
         t.append_column("lang_pred", pa.array(lang, pa.string()))
         .append_column("quality", pa.array(q, pa.float64()))

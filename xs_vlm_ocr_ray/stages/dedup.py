@@ -311,14 +311,16 @@ def verify_pairs_jaccard(
     driver-side."""
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    cand_ids = set(pairs["a"]).union(pairs["b"])
+    cand_arr = pa.array(sorted(set(pairs["a"]).union(pairs["b"])), pa.int64())
 
     def collect(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t[id_col], value_set=cand_arr))  # vectorized
         ids, sh = [], []
         for i, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            if i in cand_ids:
-                ids.append(i)
-                sh.append(list(shingles(x or "", shingle_k)))
+            ids.append(i)
+            sh.append(list(shingles(x or "", shingle_k)))
         return pa.table({id_col: pa.array(ids, pa.int64()), "sh": pa.array(sh, pa.list_(pa.uint64()))})
 
     rows = docs_ds.map_batches(collect, batch_format="pyarrow").to_pandas()
