@@ -106,3 +106,37 @@ def test_training_pipeline_resumable(ray_session, tiny_pages_dir, tmp_path):
     again = run_training_pipeline(tiny_pages_dir, out_dir=out, wave_shards=2)
     assert again["stage1_waves"] == 0
     assert again["n_curated"] == summary["n_curated"]
+
+
+def test_stage3_near_dedup(ray_session, tmp_path):
+    """Stage 3 drops near-duplicate (not byte-identical) curated rows,
+    keeping the min-lineage representative per cluster."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.pipelines.training import _stage3_near_dedup
+
+    base = " ".join(f"word{i}" for i in range(200))
+    near = base + " trailing extra tokens"          # ~97% shingle overlap
+    distinct = " ".join(f"other{i}" for i in range(200))
+    t = pa.table(
+        {
+            "url": ["u0", "u1", "u2"],
+            "extracted_text": [base, near, distinct],
+            "shard_id": pa.array([0, 0, 0], pa.int32()),
+            "row_idx": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    curated = str(tmp_path / "curated")
+    os.makedirs(curated)
+    pq.write_table(t, curated + "/part-0.parquet")
+    final = str(tmp_path / "final")
+    n = _stage3_near_dedup(curated, final)
+    got = rd.read_parquet(final).to_pandas().sort_values("url")
+    assert n == 2
+    # the near-dup pair collapsed to its min-lineage member (u0)
+    assert list(got["url"]) == ["u0", "u2"]
+    assert "_order" not in got.columns

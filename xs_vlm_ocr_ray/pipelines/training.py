@@ -203,6 +203,7 @@ def run_training_pipeline(
     min_tokens: int = 20,
     resume: bool = True,
     wave_shards: int | None = None,
+    near_dedup: bool = False,
 ) -> dict:
     """Execute the curation run. Returns gate counts.
 
@@ -255,10 +256,65 @@ def run_training_pipeline(
     curated = dedup_by_winner(read_results(stage1))
     curated.write_parquet(curated_dir)
     kept = rd.read_parquet(curated_dir).count()
-    return {
+    out = {
         "n_input": total,
         "n_curated": kept,
         "n_dropped": total - kept,
         "stage1_waves": s1["waves"],
         "stage1_rows": s1["rows"],
     }
+    if near_dedup:
+        out["n_final"] = _stage3_near_dedup(curated_dir, os.path.join(out_dir, "final"))
+    return out
+
+
+def _stage3_near_dedup(curated_dir: str, final_dir: str) -> int:
+    """Optional stage 3: MinHash+LSH near-dup removal over the (exact-
+    deduped) curated store — one representative per near-dup CLUSTER
+    (min lineage order), via pair generation → Jaccard verify →
+    union-find clustering → broadcast drop filter. The pair list is
+    skew-bounded small (LSH + max_bucket); the curated corpus streams
+    through one filter, never shuffles."""
+    import shutil
+
+    from ..stages.dedup import (
+        MinHasher,
+        drop_neardups,
+        lsh_band_rows,
+        lsh_candidate_pairs,
+        verify_pairs_jaccard,
+    )
+
+    curated = rd.read_parquet(curated_dir)
+    docs = curated.select_columns(["_order", "extracted_text"]) if (
+        "_order" in curated.schema().names
+    ) else None
+    # curated rows dropped _order; rebuild the unique lineage key
+    if docs is None:
+        def add_order(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            order = pc.add(
+                pc.multiply(pc.cast(t["shard_id"], pa.int64()), pa.scalar(1 << 44, pa.int64())),
+                t["row_idx"],
+            )
+            return t.append_column("_order", order)
+
+        curated = curated.map_batches(add_order, batch_format="pyarrow")
+        docs = curated.select_columns(["_order", "extracted_text"])
+
+    sigs = docs.map_batches(
+        MinHasher(text_col="extracted_text", id_col="_order"), batch_format="pyarrow"
+    )
+    pairs = lsh_candidate_pairs(lsh_band_rows(sigs, id_col="_order"), id_col="_order")
+    verified = verify_pairs_jaccard(
+        docs, pairs, text_col="extracted_text", id_col="_order", threshold=0.9
+    )
+    final = drop_neardups(curated, verified[["a", "b"]], id_col="_order")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in ("_order",) if c in t.column_names])
+
+    shutil.rmtree(final_dir, ignore_errors=True)
+    final.map_batches(strip, batch_format="pyarrow").write_parquet(final_dir)
+    return rd.read_parquet(final_dir).count()
