@@ -145,3 +145,13 @@ def test_write_payload_files(ray_session, tiny_pages_dir, tmp_path):
     n2 = write_payload_files(read_pages(tiny_pages_dir, columns=["url", "html"]), out)
     assert n2 == n
     assert sorted(_glob.glob(out + "/*")) == sorted(files)
+
+
+def test_copy_result_text_nan():
+    import numpy as np
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.sinks.export import copy_result_text
+
+    df = pd.DataFrame({"url": ["u"], "extracted_text": [np.nan]})
+    assert copy_result_text(df) == ""

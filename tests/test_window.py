@@ -79,3 +79,28 @@ def test_seeded_sample_deterministic(events_ds):
     assert sorted(a["event_id"]) == sorted(b["event_id"])
     n = events_ds.count()
     assert 0.04 * n < len(a) < 0.2 * n
+
+
+def test_sessionize_string_user_ids(ray_session):
+    """Bucketing must not narrow the key contract: string user ids
+    sessionize identically to the pre-bucketing semantics."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.window import sessionize
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 12:00",
+         "2024-01-01 10:05", "2024-01-02 09:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": ["alice", "alice", "alice", "bob", "bob"],
+            "ts": ts,
+            "event_id": [1, 2, 3, 4, 5],
+        }
+    )
+    out = sessionize(rd.from_pandas(df), gap_seconds=1800)
+    assert list(out["user_id"]) == ["alice", "alice", "bob", "bob"]
+    assert list(out["session_id"]) == [0, 1, 0, 1]
+    assert list(out["n_events"]) == [2, 1, 1, 1]

@@ -64,6 +64,11 @@ def build_extract_ds(
         # pre-built pages source (e.g. the S2 drag-drop union,
         # sources.pages.read_dropped_files) — must already carry
         # (url, html, shard_id, row_idx)
+        if skip_shards:
+            raise ValueError(
+                "skip_shards is not applicable to a pre-built Dataset source; "
+                "apply the shard filter when building it"
+            )
         ds = sf_dir_or_paths
     else:
         ds = read_pages(

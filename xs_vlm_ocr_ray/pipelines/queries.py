@@ -1080,12 +1080,22 @@ def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    """EXACT word-5-shingle Jaccard near-dup pairs ≥ 0.3 via distributed
-    inverted shingle index (oracle-checked against a DuckDB self-join)."""
+    """Word-5-shingle Jaccard near-dup pairs ≥ 0.3 via distributed
+    inverted shingle index, oracle-checked against a DuckDB self-join.
+    Exact at driver-check scale (no posting exceeds the default skew
+    cap — asserted); at corpus scale the cap makes it a
+    precision-preserving lower bound (see ngram_jaccard_pairs)."""
     from ..stages.dedup import ngram_jaccard_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_jaccard_pairs(docs, threshold=0.3)
+    out = ngram_jaccard_pairs(docs, threshold=0.3)
+    # the oracle is an uncapped self-join: exactness of this query
+    # requires that nothing was capped at this scale
+    assert out.attrs.get("n_capped_postings", 0) == 0, (
+        "posting cap engaged — oracle comparison would be lower-bound, "
+        "not exact"
+    )
+    return out
 
 
 _NGRAM_JACCARD_SQL = """

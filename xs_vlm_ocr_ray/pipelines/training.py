@@ -152,18 +152,24 @@ def dedup_by_winner(mat: rd.Dataset) -> rd.Dataset:
 
     from ray.data.aggregate import Min
 
-    winners_df = (
+    # the election output stays a DATASET: its cardinality is checked
+    # distributed (count()) BEFORE anything reaches the driver, so the
+    # over-limit path never materializes the winner set driver-side
+    winners_ds = (
         mat.map_batches(partial_min, batch_format="pyarrow")
         .groupby("text_hash")
         .aggregate(Min("order_part", alias_name="order_min"))
-        .to_pandas()
+        .select_columns(["order_min"])
+        .materialize()
     )
+    n_winners = winners_ds.count()
 
-    if len(winners_df) <= _WINNER_BROADCAST_LIMIT:
+    if n_winners <= _WINNER_BROADCAST_LIMIT:
         import numpy as np
 
         import ray
 
+        winners_df = winners_ds.to_pandas()
         ref = ray.put(
             pa.array(np.sort(winners_df["order_min"].to_numpy()), pa.int64())
         )
@@ -176,12 +182,11 @@ def dedup_by_winner(mat: rd.Dataset) -> rd.Dataset:
 
         return mat.map_batches(keep_winners, batch_format="pyarrow")
 
-    # scale fallback: semi-join the winner keys back by hash shuffle
-    # (partition count CPU-bounded — join aggregators are actors and
-    # deadlock when partitions exceed schedulable CPUs)
+    # scale fallback: semi-join the winner-key DATASET back by hash
+    # shuffle (partition count CPU-bounded — join aggregators are
+    # actors and deadlock when partitions exceed schedulable CPUs)
     from ..stages.dedup import _join_partitions
 
-    winners_ds = rd.from_pandas(winners_df[["order_min"]])
     joined = mat.join(
         winners_ds, join_type="inner", num_partitions=_join_partitions(),
         on=("_order",), right_on=("order_min",),

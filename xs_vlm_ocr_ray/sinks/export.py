@@ -240,7 +240,9 @@ def copy_result_text(df, url: str | None = None) -> str:
         if df.empty:
             return ""
     text = df.iloc[0]["extracted_text"]
-    return text or ""
+    # NaN (missing text in a pandas frame) must also map to the
+    # reference's empty-refusal, not leak a float to the caller
+    return text if isinstance(text, str) else ""
 
 
 def _write_bytes(path: str, data: bytes) -> None:

@@ -95,14 +95,18 @@ def dedup_exact(
         g = t.select([key, order_col]).group_by(key).aggregate([(order_col, "min")])
         return g.rename_columns([key, "order_part"])
 
-    winners_df = (
+    # winner cardinality checked distributed BEFORE any driver collect:
+    # the over-limit path never pulls the winner set to the driver
+    winners_ds = (
         mat.map_batches(partial_min, batch_format="pyarrow")
         .groupby(key)
         .aggregate(Min("order_part", alias_name="order_min"))
-        .to_pandas()
+        .select_columns(["order_min"])
+        .materialize()
     )
 
-    if len(winners_df) <= broadcast_limit:
+    if winners_ds.count() <= broadcast_limit:
+        winners_df = winners_ds.to_pandas()
         ref = ray.put(pa.array(np.sort(winners_df["order_min"].to_numpy())))
 
         def keep_winners(t: pa.Table) -> pa.Table:
@@ -110,7 +114,6 @@ def dedup_exact(
 
         return mat.map_batches(keep_winners, batch_format="pyarrow")
 
-    winners_ds = rd.from_pandas(winners_df[["order_min"]])
     joined = mat.join(
         winners_ds, join_type="inner", num_partitions=_join_partitions(),
         on=(order_col,), right_on=("order_min",),
@@ -356,10 +359,16 @@ def ngram_jaccard_pairs(
     shared by p docs would otherwise generate O(p²) pairs) — the
     standard skew guard, ON by default (1024). Capped posting lists are
     counted in-band and surfaced as ``attrs['n_capped_postings']`` —
-    never silently. The result is exact whenever no posting exceeds the
-    cap (every near-dup pair shares at least one sub-cap shingle
-    otherwise it can be missed); pass ``max_posting=None`` to force
-    exactness regardless of skew (unsafe at corpus scale).
+    never silently.
+
+    Cap semantics (precision-preserving lower bound): a capped shingle
+    contributes to NO pair's intersection count, so every reported
+    ``jaccard`` is ≤ the true value — a reported pair always truly
+    meets the threshold (no false positives), but a pair whose
+    qualifying overlap runs through capped shingles can be missed or
+    under-scored. With ``n_capped_postings == 0`` the result is exact.
+    Pass ``max_posting=None`` to force exactness regardless of skew
+    (unsafe at corpus scale: one hot shingle → quadratic pairs).
     """
 
     def explode(t: pa.Table) -> pa.Table:
@@ -485,7 +494,10 @@ class SimHasher:
     occurrence). ``simhash64`` stays the pure uncached reference
     implementation (tests compare against it)."""
 
-    _CACHE_MAX = 1 << 20  # ~64 MB of int8 vectors at worst
+    # 256k entries ≈ 70-80 MB per actor INCLUDING numpy/dict/key
+    # overhead (~300 B/entry, not just the 64-byte payload) — sized so a
+    # 32-actor pool stays under ~2.5 GB fleet-wide
+    _CACHE_MAX = 1 << 18
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -649,6 +661,11 @@ def embedding_neardup_pairs(
     probability; see ann.lsh_bucket_ids)."""
     import ray
 
+    # checkpoint once so the size probe and the pair pass share ONE
+    # execution of whatever upstream computed the embeddings (count()
+    # on a lazy dataset would run the pipeline, then the pair pass
+    # would run it again)
+    emb_ds = emb_ds.materialize()
     n = emb_ds.count()
     if n > max_rows_bruteforce:
         return _embedding_neardup_bucketed(

@@ -104,10 +104,23 @@ def sessionize(
     buckets = 4096
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(
-            pc.bit_wise_and(pc.cast(t[user_col], pa.int64()), pa.scalar(buckets - 1, pa.int64())),
-            pa.int32(),
-        )
+        if pa.types.is_integer(t[user_col].type):
+            b = pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(t[user_col], pa.int64()), pa.scalar(buckets - 1, pa.int64())
+                ),
+                pa.int32(),
+            )
+        else:
+            # non-numeric keys: deterministic vectorized hash (stable
+            # across processes for a fixed pandas version — the cluster
+            # runs one env). Bucketing only needs same-user→same-bucket.
+            import pandas as _pd
+
+            h = _pd.util.hash_pandas_object(
+                t[user_col].to_pandas(), index=False, hash_key="0123456789123456"
+            )
+            b = pa.array((h.to_numpy() % buckets).astype("int32"))
         return t.append_column("_bucket", b)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
