@@ -327,12 +327,13 @@ def verify_pairs_jaccard(
         return pa.table({id_col: pa.array(ids, pa.int64()), "sh": pa.array(sh, pa.list_(pa.uint64()))})
 
     rows = docs_ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-    sets = {r[id_col]: set(r["sh"]) for _, r in rows.iterrows()}
+    sets = dict(zip(rows[id_col].to_numpy(), (set(s) for s in rows["sh"])))
+    empty: set = set()
     out = []
-    for _, p in pairs.iterrows():
-        j = jaccard(sets.get(p["a"], set()), sets.get(p["b"], set()))
+    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+        j = jaccard(sets.get(a, empty), sets.get(b, empty))
         if j >= threshold:
-            out.append({"a": int(p["a"]), "b": int(p["b"]), "jaccard": round(j, 6)})
+            out.append({"a": int(a), "b": int(b), "jaccard": round(j, 6)})
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
 
