@@ -170,6 +170,7 @@ class MinHasher:
         self.a, self.b = _perm_params(num_perm, seed)
 
     def _sig(self, text: str) -> np.ndarray:
+        # per-doc reference path (kept for tests / direct callers)
         sh = shingles(text, self.k)
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -179,8 +180,30 @@ class MinHasher:
         return prod.min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        # batch-vectorized: ONE (perms × total_shingles) product for the
+        # whole batch, then a segmented min (np.minimum.reduceat) over
+        # per-doc offsets — byte-identical to the per-doc path (min of
+        # the same values over the same segments), with the perm
+        # broadcast amortized across every document in the batch
         texts = t[self.text_col].to_pylist()
-        sigs = np.stack([self._sig(x or "") for x in texts])
+        per_doc = [shingles(x or "", self.k) for x in texts]
+        counts = np.fromiter((len(s) for s in per_doc), dtype=np.int64, count=len(per_doc))
+        total = int(counts.sum())
+        sigs = np.full((len(texts), self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if total:
+            flat = np.empty(total, dtype=np.uint64)
+            pos = 0
+            for s in per_doc:
+                if s:
+                    flat[pos : pos + len(s)] = np.fromiter(s, dtype=np.uint64, count=len(s))
+                    pos += len(s)
+            prod = (self.a[:, None] * flat[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+            nz = counts > 0
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(counts[nz][:-1], out=offsets[1:])
+            # reduceat over each perm row: min within every doc segment
+            mins = np.minimum.reduceat(prod, offsets, axis=1)
+            sigs[nz] = mins.T
         return pa.table(
             {
                 self.id_col: t[self.id_col],
