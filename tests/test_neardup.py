@@ -159,3 +159,40 @@ def test_drop_neardups(ray_session):
     out = drop_neardups(rd.from_pandas(docs), pairs).to_pandas()
     # keepers: 1 (cluster {1,2,3}), 10 (cluster {10,11}), 50 (unpaired)
     assert sorted(out["doc_id"]) == [1, 10, 50]
+
+
+def test_neardup_clusters_distributed_equivalence(ray_session):
+    """Distributed label propagation == driver union-find on random
+    graphs, including long chains (multi-round propagation)."""
+    import random
+
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import (
+        neardup_clusters,
+        neardup_clusters_distributed,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        # chain of diameter 6: forces several propagation rounds
+        pd.DataFrame({"a": list(range(100, 106)), "b": list(range(101, 107))}),
+        # random sparse graph
+        pd.DataFrame(
+            {
+                "a": [rng.randrange(50) for _ in range(60)],
+                "b": [50 + rng.randrange(50) for _ in range(60)],
+            }
+        ),
+    ]
+    for pairs in cases:
+        pairs = pairs[pairs["a"] != pairs["b"]].drop_duplicates()
+        want = neardup_clusters(pairs).sort_values("doc_id").reset_index(drop=True)
+        got = (
+            neardup_clusters_distributed(rd.from_pandas(pairs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)

@@ -871,3 +871,100 @@ def drop_neardups(
         )
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def neardup_clusters_distributed(
+    pairs_ds: rd.Dataset, max_iters: int = 25
+) -> rd.Dataset:
+    """Distributed connected components over a near-dup edge Dataset —
+    the corpus-scale path when the pair list no longer fits a driver
+    union-find (``neardup_clusters``).
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round a node adopts the minimum label among itself and its
+    neighbors (edges ⋈ labels → per-node min). Labels are monotone
+    non-increasing, so convergence is detected by the global label SUM
+    reaching a fixpoint — one tiny aggregate per round, no driver
+    materialization of nodes or edges. Rounds needed = cluster
+    diameter; near-dup clusters are shallow (mirrors/chains), so this
+    terminates in a handful of rounds. Each round shuffles only the
+    EDGE list and the (node, label) pairs — never documents.
+
+    Input: Dataset with int64 columns ``a``, ``b`` (undirected edges).
+    Output: Dataset (doc_id, cluster_id), one row per node that appears
+    in any edge; cluster_id = min doc_id of the component.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # initial labels: label[n] = n (distinct nodes via per-batch dedup +
+    # groupby min — one tiny row per node per batch crosses the shuffle)
+    def init_labels(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        nodes = _pd.unique(t["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "label": pa.array(nodes, pa.int64())})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def label_sum(lab: rd.Dataset) -> int:
+        def partial(t: pa.Table) -> pa.Table:
+            s = pc.sum(t["label"]).as_py() or 0
+            return pa.table({"s": pa.array([s], pa.int64())})
+
+        return int(lab.map_batches(partial, batch_format="pyarrow").to_pandas()["s"].sum())
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        # neighbor messages: edges ⋈ labels on nbr → (node, nbr_label)
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=_join_partitions(),
+            on=("nbr",), right_on=("node",),
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            # join output carries left cols + right non-key col "label"
+            return pa.table({"node": t["node"], "label": t["label"]})
+
+        candidates = msgs.map_batches(project, batch_format="pyarrow").union(labels)
+
+        def partial_min(t: pa.Table) -> pa.Table:
+            g = t.group_by("node").aggregate([("label", "min")])
+            return g.rename_columns(["node", "label"])
+
+        labels = (
+            candidates.map_batches(partial_min, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        s = label_sum(labels)
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
