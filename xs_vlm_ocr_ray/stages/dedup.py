@@ -874,34 +874,37 @@ def drop_neardups(
 
 
 def neardup_clusters_distributed(
-    pairs_ds: rd.Dataset, max_iters: int = 25
+    pairs_ds: rd.Dataset, max_iters: int = 25, coarse_buckets: int = 1024
 ) -> rd.Dataset:
     """Distributed connected components over a near-dup edge Dataset —
     the corpus-scale path when the pair list no longer fits a driver
     union-find (``neardup_clusters``).
 
-    Min-label propagation: every node starts labeled with its own id;
-    each round a node adopts the minimum label among itself and its
-    neighbors (edges ⋈ labels → per-node min). Labels are monotone
-    non-increasing, so convergence is detected by the global label SUM
-    reaching a fixpoint — one tiny aggregate per round, no driver
-    materialization of nodes or edges. Rounds needed = cluster
-    diameter; near-dup clusters are shallow (mirrors/chains), so this
-    terminates in a handful of rounds. Each round shuffles only the
-    EDGE list and the (node, label) pairs — never documents.
+    Min-label propagation, implemented entirely with groupby machinery
+    (a REDUCE-SIDE join: label rows and edge rows are tagged, unioned,
+    and grouped by a coarse key-hash bucket; inside each bucket a
+    vectorized pandas merge delivers each node's current label to its
+    neighbors — no ``Dataset.join``, whose planner mis-resolves a
+    right side that is also unioned back into the same plan in Ray
+    2.49). Labels are monotone non-increasing, so convergence is
+    detected by the global label SUM reaching a fixpoint — one tiny
+    aggregate per round. Rounds needed = cluster diameter; near-dup
+    clusters are shallow, so this terminates in a handful of rounds.
+    Each round shuffles only (key, kind, value) int64 triples — never
+    documents.
 
     Input: Dataset with int64 columns ``a``, ``b`` (undirected edges).
-    Output: Dataset (doc_id, cluster_id), one row per node that appears
-    in any edge; cluster_id = min doc_id of the component.
+    Output: Dataset (doc_id, cluster_id), one row per node appearing in
+    any edge; cluster_id = min doc_id of the component.
     """
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Min, Sum
+    assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0
 
     def both_dirs(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "node": pa.concat_arrays(
+                "edge_node": pa.concat_arrays(
                     [t["a"].combine_chunks(), t["b"].combine_chunks()]
                 ),
                 "nbr": pa.concat_arrays(
@@ -917,7 +920,7 @@ def neardup_clusters_distributed(
     def init_labels(t: pa.Table) -> pa.Table:
         import pandas as _pd
 
-        nodes = _pd.unique(t["node"].to_numpy(zero_copy_only=False))
+        nodes = _pd.unique(t["edge_node"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(nodes, pa.int64()),
                          "label": pa.array(nodes, pa.int64())})
 
@@ -928,33 +931,68 @@ def neardup_clusters_distributed(
         .materialize()
     )
 
+    # tagged rows share ONE null-free schema: (key, kind, val).
+    # kind 0: "node key carries label val"; kind 1: "node key has
+    # neighbor val" (val = the edge's other endpoint).
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": pc.cast(t["node"], pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "val": pc.cast(t["label"], pa.int64()),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": pc.cast(t["nbr"], pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "val": pc.cast(t["edge_node"], pa.int64()),
+            }
+        )
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "coarse",
+            pc.cast(
+                pc.bit_wise_and(t["key"], pa.scalar(coarse_buckets - 1, pa.int64())),
+                pa.int32(),
+            ),
+        )
+
+    def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["kind"] == 0][["key", "val"]].rename(columns={"val": "label"})
+        edg = df[df["kind"] == 1][["key", "val"]].rename(columns={"val": "node"})
+        # deliver each key's label to its neighbors (vectorized merge),
+        # and keep each key's own label
+        msgs = edg.merge(lab, on="key")[["node", "label"]]
+        own = lab.rename(columns={"key": "node"})[["node", "label"]]
+        out = pd.concat([own, msgs], ignore_index=True)
+        # partial reduce: one row per node per bucket
+        return out.groupby("node", as_index=False)["label"].min().astype(
+            {"node": "int64", "label": "int64"}
+        )
+
     def label_sum(lab: rd.Dataset) -> int:
         def partial(t: pa.Table) -> pa.Table:
-            s = pc.sum(t["label"]).as_py() or 0
-            return pa.table({"s": pa.array([s], pa.int64())})
+            v = pc.sum(t["label"]).as_py() or 0
+            return pa.table({"s": pa.array([v], pa.int64())})
 
         return int(lab.map_batches(partial, batch_format="pyarrow").to_pandas()["s"].sum())
 
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
     prev_sum = label_sum(labels)
     for _ in range(max_iters):
-        # neighbor messages: edges ⋈ labels on nbr → (node, nbr_label)
-        msgs = edges.join(
-            labels, join_type="inner", num_partitions=_join_partitions(),
-            on=("nbr",), right_on=("node",),
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow").union(
+            tagged_edges
         )
-
-        def project(t: pa.Table) -> pa.Table:
-            # join output carries left cols + right non-key col "label"
-            return pa.table({"node": t["node"], "label": t["label"]})
-
-        candidates = msgs.map_batches(project, batch_format="pyarrow").union(labels)
-
-        def partial_min(t: pa.Table) -> pa.Table:
-            g = t.group_by("node").aggregate([("label", "min")])
-            return g.rename_columns(["node", "label"])
-
         labels = (
-            candidates.map_batches(partial_min, batch_format="pyarrow")
+            tagged.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse")
+            .map_groups(per_coarse, batch_format="pandas")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
