@@ -1,0 +1,103 @@
+"""Corpus-run CLI — the `ray job submit` entry point DEPLOY.md
+describes. Ties the config surface together the way the reference's
+main window does for one click of "start batch": load config (S5),
+pick the model (T4 fallback rule), resolve provider params (T7),
+build the engine stage, run the checkpointed extraction (or the staged
+curation pipeline), watching the config file between waves (T8).
+
+Usage (single node shown; on a cluster wrap with `ray job submit`):
+
+    python -m scripts.run_corpus --input /data/pages --out /data/out
+    python -m scripts.run_corpus --input ... --out ... --model stub-vlm \
+        --config cfg.json --wave-shards 8
+    python -m scripts.run_corpus --input ... --out ... --pipeline training \
+        --near-dedup
+
+This script OWNS the Ray session (guarded init) — the library never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--input", required=True, help="pages parquet dir (or file)")
+    ap.add_argument("--out", required=True, help="output/checkpoint directory")
+    ap.add_argument(
+        "--pipeline", choices=["extract", "training"], default="extract",
+        help="flagship extraction or the staged curation run",
+    )
+    ap.add_argument("--config", default=None, help="engine config JSON (S5)")
+    ap.add_argument("--model", default=None, help="model id from the config (T4)")
+    ap.add_argument("--prompt", default="", help="prompt override (M4 defaulting applies)")
+    ap.add_argument("--wave-shards", type=int, default=None, help="shards per checkpoint wave")
+    ap.add_argument("--no-resume", action="store_true", help="ignore existing manifest")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="training pipeline: add the MinHash near-dup stage 3")
+    ap.add_argument("--concurrency", type=int, default=None,
+                    help="actor-pool size for heavy engines (default: task pool)")
+    ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": logging.ERROR}
+        if args.num_cpus is not None:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+    if args.pipeline == "training":
+        from xs_vlm_ocr_ray.pipelines.training import run_training_pipeline
+
+        summary = run_training_pipeline(
+            args.input,
+            out_dir=args.out,
+            resume=not args.no_resume,
+            wave_shards=args.wave_shards,
+            near_dedup=args.near_dedup,
+        )
+    else:
+        from xs_vlm_ocr_ray.engines.config import ConfigWatcher, default_config
+        from xs_vlm_ocr_ray.engines.registry import build_engine_stage
+        from xs_vlm_ocr_ray.pipelines.extract import run_extract
+
+        if args.config:
+            watcher = ConfigWatcher(args.config)  # T8: re-poll between runs
+            cfg = watcher.config
+            if cfg is None:
+                print(f"cannot read config {args.config}: {watcher.last_error}",
+                      file=sys.stderr)
+                return 2
+        else:
+            cfg = default_config()
+        cls, kwargs = build_engine_stage(cfg, args.model, prompt=args.prompt)
+        summary = run_extract(
+            args.input,
+            args.out,
+            engine_cls=cls,
+            engine_kwargs=kwargs,
+            concurrency=args.concurrency,
+            batch_size=cfg.settings.batch_size if args.concurrency else None,
+            resume=not args.no_resume,
+            wave_shards=args.wave_shards,
+        )
+
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
