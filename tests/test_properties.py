@@ -86,3 +86,46 @@ def test_csv_escape_roundtrip(field):
     # embedded newline: csv joins continuation only when quoted
     got = rows[0][0] if rows and rows[0] else ""
     assert got == field
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.binary(max_size=40)), min_size=1, max_size=30
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+def test_binary_views_roundtrip_property(vals, cut):
+    """Zero-copy views reproduce the exact bytes of any binary column,
+    under arbitrary slicing, for both offset widths."""
+    import pyarrow as pa
+
+    from xs_vlm_ocr_ray.stages.extract_stage import binary_views
+
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(vals, typ)
+        off = min(cut, len(vals))
+        sliced = arr.slice(off)
+        got = [None if v is None else bytes(v) for v in binary_views(sliced)]
+        assert got == vals[off:]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=120))
+def test_pdf_bytes_structure_property(text):
+    """Any text yields a structurally valid PDF: header/EOF, page count
+    matching the 54-line pagination, xref offsets pointing at objects."""
+    import re
+
+    from xs_vlm_ocr_ray.sinks.export import _PDF_LINES_PER_PAGE, pdf_bytes
+
+    raw = pdf_bytes(text)
+    assert raw.startswith(b"%PDF-1.4\n") and raw.endswith(b"%%EOF\n")
+    lines = text.split("\n")
+    n_pages = max(1, -(-max(len(lines), 1) // _PDF_LINES_PER_PAGE))
+    assert raw.count(b"/Type /Page ") == n_pages
+    xref_pos = int(raw.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    assert raw[xref_pos : xref_pos + 4] == b"xref"
+    for num, off in enumerate(re.findall(rb"(\d{10}) 00000 n", raw), start=1):
+        head = b"%d 0 obj" % num
+        assert raw[int(off) : int(off) + len(head)] == head
