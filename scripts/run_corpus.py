@@ -45,6 +45,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local)")
     args = ap.parse_args(argv)
 
+    if args.pipeline == "training":
+        # the training pipeline hardcodes the routed dual-engine chain;
+        # silently ignoring engine-selection flags would misreport what
+        # ran, so reject them explicitly
+        for flag, val, default in (
+            ("--config", args.config, None),
+            ("--model", args.model, None),
+            ("--prompt", args.prompt, ""),
+            ("--concurrency", args.concurrency, None),
+        ):
+            if val != default:
+                ap.error(f"{flag} is not supported with --pipeline training "
+                         "(the curation run uses the routed dual-engine chain)")
+
     import ray
 
     if not ray.is_initialized():

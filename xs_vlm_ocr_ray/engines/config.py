@@ -217,7 +217,13 @@ class ConfigWatcher:
         """Reload if the file changed; returns True iff a NEW config was
         loaded. Keeps the previous config on read/parse errors."""
         stamp = self._stat()
-        if stamp is None or stamp == self._stamp:
+        if stamp is None:
+            if self.config is None:
+                # never-loaded AND unreadable: record why, for callers
+                # that surface the failure (e.g. the CLI)
+                self.last_error = f"cannot stat {self.path}"
+            return False
+        if stamp == self._stamp:
             return False
         try:
             cfg = load_config(self.path)

@@ -242,6 +242,10 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
         for f in sorted(os.listdir(wd))
         if f.endswith(".parquet")
     ]
+    if not files:
+        # a fully-filtered run manifests every shard with zero rows and
+        # writes no parquet at all — an empty dataset, not an error
+        return rd.from_items([])
     cols = columns
     if cols is not None and "shard_id" not in cols:
         cols = list(cols) + ["shard_id"]

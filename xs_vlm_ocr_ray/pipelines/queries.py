@@ -1090,11 +1090,14 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ngram_jaccard_pairs(docs, threshold=0.3)
     # the oracle is an uncapped self-join: exactness of this query
-    # requires that nothing was capped at this scale
-    assert out.attrs.get("n_capped_postings", 0) == 0, (
-        "posting cap engaged — oracle comparison would be lower-bound, "
-        "not exact"
-    )
+    # requires that nothing was capped at this scale (a typed error,
+    # not an assert — the condition is data-dependent and must survive
+    # python -O)
+    if out.attrs.get("n_capped_postings", 0) != 0:
+        raise ValueError(
+            "posting cap engaged - oracle comparison would be lower-bound, "
+            "not exact; raise max_posting for this corpus"
+        )
     return out
 
 

@@ -58,6 +58,20 @@ def _annotate(t: pa.Table) -> pa.Table:
     )
 
 
+def add_lineage_order(t: pa.Table) -> pa.Table:
+    """Append the globally-unique ``_order`` lineage key:
+    ``shard_id * 2^44 + row_idx`` (row_idx < 2^44 per shard). ONE
+    definition — stage 1 and the stage-3 rebuild must encode
+    identically or winner election runs on mismatched keys."""
+    import pyarrow.compute as pc
+
+    order = pc.add(
+        pc.multiply(pc.cast(t["shard_id"], pa.int64()), pa.scalar(1 << 44, pa.int64())),
+        t["row_idx"],
+    )
+    return t.append_column("_order", order)
+
+
 def build_filtered_ds(
     sf_dir_or_paths,
     min_quality: float = 0.5,
@@ -90,16 +104,8 @@ def build_filtered_ds(
             "text_hash", keep="first"
         )
 
-    def add_order(t: pa.Table) -> pa.Table:
-        # globally-unique lineage order key; row_idx < 2^44 per shard
-        order = pc.add(
-            pc.multiply(pc.cast(t["shard_id"], pa.int64()), pa.scalar(1 << 44, pa.int64())),
-            t["row_idx"],
-        )
-        return t.append_column("_order", order)
-
     return filtered.map_batches(within_batch, batch_format="pandas").map_batches(
-        add_order, batch_format="pyarrow"
+        add_lineage_order, batch_format="pyarrow"
     )
 
 
@@ -141,64 +147,14 @@ def build_training_ds(
 
 def dedup_by_winner(mat: rd.Dataset) -> rd.Dataset:
     """Stage 2: winner election + filter over a (checkpointed) stage-1
-    dataset carrying ``text_hash`` and ``_order`` columns."""
-    import pyarrow.compute as pc
+    dataset carrying ``text_hash`` and ``_order`` columns — a thin
+    wrapper over the shared election tail in stages/dedup.py."""
+    from ..stages.dedup import elect_and_filter_winners
 
-    def partial_min(t: pa.Table) -> pa.Table:
-        g = t.select(["text_hash", "_order"]).group_by("text_hash").aggregate(
-            [("_order", "min")]
-        )
-        return g.rename_columns(["text_hash", "order_part"])
-
-    from ray.data.aggregate import Min
-
-    # the election output stays a DATASET: its cardinality is checked
-    # distributed (count()) BEFORE anything reaches the driver, so the
-    # over-limit path never materializes the winner set driver-side
-    winners_ds = (
-        mat.map_batches(partial_min, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("order_part", alias_name="order_min"))
-        .select_columns(["order_min"])
-        .materialize()
+    return elect_and_filter_winners(
+        mat, key="text_hash", order_col="_order",
+        broadcast_limit=_WINNER_BROADCAST_LIMIT, drop_cols=("_order",),
     )
-    n_winners = winners_ds.count()
-
-    if n_winners <= _WINNER_BROADCAST_LIMIT:
-        import numpy as np
-
-        import ray
-
-        winners_df = winners_ds.to_pandas()
-        ref = ray.put(
-            pa.array(np.sort(winners_df["order_min"].to_numpy()), pa.int64())
-        )
-
-        def keep_winners(t: pa.Table) -> pa.Table:
-            winners = ray.get(ref)  # shared-memory read per task
-            return t.filter(pc.is_in(t["_order"], value_set=winners)).drop_columns(
-                ["_order"]
-            )
-
-        return mat.map_batches(keep_winners, batch_format="pyarrow")
-
-    # scale fallback: semi-join the winner-key DATASET back by hash
-    # shuffle (partition count CPU-bounded — join aggregators are
-    # actors and deadlock when partitions exceed schedulable CPUs)
-    from ..stages.dedup import _join_partitions
-
-    joined = mat.join(
-        winners_ds, join_type="inner", num_partitions=_join_partitions(),
-        on=("_order",), right_on=("order_min",),
-    )
-
-    def strip(t: pa.Table) -> pa.Table:
-        # the join may or may not carry the right-side key through
-        return t.drop_columns(
-            [c for c in ("_order", "order_min") if c in t.column_names]
-        )
-
-    return joined.map_batches(strip, batch_format="pyarrow")
 
 
 def run_training_pipeline(
@@ -258,9 +214,16 @@ def run_training_pipeline(
     # stage 2 is derived state: rebuild it whole (overwrite semantics —
     # stale files from a previous run's UUID names must not survive)
     shutil.rmtree(curated_dir, ignore_errors=True)
-    curated = dedup_by_winner(read_results(stage1))
-    curated.write_parquet(curated_dir)
-    kept = rd.read_parquet(curated_dir).count()
+    if s1["rows"] == 0:
+        # every row filtered: the stage-1 store has no parquet files to
+        # read back (zero-row shards are manifest-only) — the run is
+        # complete with an empty curated set, not an error
+        os.makedirs(curated_dir, exist_ok=True)
+        kept = 0
+    else:
+        curated = dedup_by_winner(read_results(stage1))
+        curated.write_parquet(curated_dir)
+        kept = rd.read_parquet(curated_dir).count()
     out = {
         "n_input": total,
         "n_curated": kept,
@@ -296,16 +259,7 @@ def _stage3_near_dedup(curated_dir: str, final_dir: str) -> int:
     ) else None
     # curated rows dropped _order; rebuild the unique lineage key
     if docs is None:
-        def add_order(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            order = pc.add(
-                pc.multiply(pc.cast(t["shard_id"], pa.int64()), pa.scalar(1 << 44, pa.int64())),
-                t["row_idx"],
-            )
-            return t.append_column("_order", order)
-
-        curated = curated.map_batches(add_order, batch_format="pyarrow")
+        curated = curated.map_batches(add_lineage_order, batch_format="pyarrow")
         docs = curated.select_columns(["_order", "extracted_text"])
 
     sigs = docs.map_batches(

@@ -216,7 +216,8 @@ def write_payload_files(
         return pa.table({"n_written": pa.array([n], pa.int64())})
 
     parts = ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
-    return int(parts["n_written"].sum())
+    # an empty dataset yields a column-less frame, not a zero row
+    return int(parts["n_written"].sum()) if "n_written" in parts.columns else 0
 
 
 def copy_result_text(df, url: str | None = None) -> str:

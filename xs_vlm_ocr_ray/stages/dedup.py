@@ -90,6 +90,26 @@ def dedup_exact(
         return df.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
 
     mat = ds.map_batches(within_batch, batch_format="pandas").materialize()
+    return elect_and_filter_winners(mat, key, order_col, broadcast_limit)
+
+
+def elect_and_filter_winners(
+    mat: rd.Dataset,
+    key: str,
+    order_col: str,
+    broadcast_limit: int = 5_000_000,
+    drop_cols: tuple[str, ...] = (),
+) -> rd.Dataset:
+    """Shared dedup tail (used by ``dedup_exact`` and the training
+    pipeline): elect the min-``order_col`` row per ``key`` over the
+    SMALL columns only, then filter ``mat`` to the winners — broadcast
+    ``is_in`` under ``broadcast_limit`` winners, hash-shuffle semi-join
+    above it. ``order_col`` values must be unique across rows.
+    ``drop_cols`` are removed from the output (e.g. a synthetic order
+    key the caller added)."""
+    import pyarrow.compute as pc
+
+    import ray
 
     def partial_min(t: pa.Table) -> pa.Table:
         g = t.select([key, order_col]).group_by(key).aggregate([(order_col, "min")])
@@ -105,12 +125,17 @@ def dedup_exact(
         .materialize()
     )
 
+    def strip(t: pa.Table) -> pa.Table:
+        # (after the join: the right-side key may or may not survive)
+        gone = [c for c in (*drop_cols, "order_min") if c in t.column_names]
+        return t.drop_columns(gone) if gone else t
+
     if winners_ds.count() <= broadcast_limit:
         winners_df = winners_ds.to_pandas()
         ref = ray.put(pa.array(np.sort(winners_df["order_min"].to_numpy())))
 
         def keep_winners(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t[order_col], value_set=ray.get(ref)))
+            return strip(t.filter(pc.is_in(t[order_col], value_set=ray.get(ref))))
 
         return mat.map_batches(keep_winners, batch_format="pyarrow")
 
@@ -118,11 +143,6 @@ def dedup_exact(
         winners_ds, join_type="inner", num_partitions=_join_partitions(),
         on=(order_col,), right_on=("order_min",),
     )
-
-    def strip(t: pa.Table) -> pa.Table:
-        # the join may or may not carry the right-side key through
-        return t.drop_columns([c for c in ("order_min",) if c in t.column_names])
-
     return joined.map_batches(strip, batch_format="pyarrow")
 
 
@@ -179,31 +199,47 @@ class MinHasher:
         prod = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return prod.min(axis=1)
 
+    # bound on shingles per vectorized product slab: the transient is
+    # num_perm × SLAB × 8 B (64 perms × 256k × 8 B ≈ 128 MB), NOT
+    # num_perm × whole-batch — an unbatched product over a payload-
+    # heavy block would allocate gigabytes in one task
+    _SLAB_SHINGLES = 1 << 18
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        # batch-vectorized: ONE (perms × total_shingles) product for the
-        # whole batch, then a segmented min (np.minimum.reduceat) over
-        # per-doc offsets — byte-identical to the per-doc path (min of
-        # the same values over the same segments), with the perm
-        # broadcast amortized across every document in the batch
+        # batch-vectorized in bounded slabs: one (perms × ≤SLAB)
+        # product per group of docs, then a segmented min
+        # (np.minimum.reduceat) over per-doc offsets — byte-identical
+        # to the per-doc path (min of the same values over the same
+        # segments), with the perm broadcast amortized across the slab
         texts = t[self.text_col].to_pylist()
         per_doc = [shingles(x or "", self.k) for x in texts]
-        counts = np.fromiter((len(s) for s in per_doc), dtype=np.int64, count=len(per_doc))
-        total = int(counts.sum())
         sigs = np.full((len(texts), self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if total:
-            flat = np.empty(total, dtype=np.uint64)
-            pos = 0
-            for s in per_doc:
-                if s:
-                    flat[pos : pos + len(s)] = np.fromiter(s, dtype=np.uint64, count=len(s))
-                    pos += len(s)
-            prod = (self.a[:, None] * flat[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-            nz = counts > 0
-            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
-            np.cumsum(counts[nz][:-1], out=offsets[1:])
-            # reduceat over each perm row: min within every doc segment
-            mins = np.minimum.reduceat(prod, offsets, axis=1)
-            sigs[nz] = mins.T
+        lo = 0
+        while lo < len(per_doc):
+            hi, slab_total = lo, 0
+            # at least one doc per slab; otherwise fill to the budget
+            while hi < len(per_doc) and (
+                hi == lo or slab_total + len(per_doc[hi]) <= self._SLAB_SHINGLES
+            ):
+                slab_total += len(per_doc[hi])
+                hi += 1
+            if slab_total:
+                counts = np.fromiter(
+                    (len(s) for s in per_doc[lo:hi]), dtype=np.int64, count=hi - lo
+                )
+                flat = np.empty(slab_total, dtype=np.uint64)
+                pos = 0
+                for s in per_doc[lo:hi]:
+                    if s:
+                        flat[pos : pos + len(s)] = np.fromiter(s, dtype=np.uint64, count=len(s))
+                        pos += len(s)
+                prod = (self.a[:, None] * flat[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+                nz = counts > 0
+                offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(counts[nz][:-1], out=offsets[1:])
+                mins = np.minimum.reduceat(prod, offsets, axis=1)
+                sigs[lo:hi][nz] = mins.T
+            lo = hi
         return pa.table(
             {
                 self.id_col: t[self.id_col],

@@ -57,7 +57,11 @@ class TextEmbedder:
         return v / n if n else v
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vecs = np.stack([self._encode(x or "") for x in t[self.text_col].to_pylist()])
+        texts = t[self.text_col].to_pylist()
+        if texts:
+            vecs = np.stack([self._encode(x or "") for x in texts])
+        else:  # empty block: emit the same fixed-size-list schema
+            vecs = np.zeros((0, self.dim), dtype=np.float32)
         flat = pa.array(vecs.reshape(-1), pa.float32())
         col = pa.FixedSizeListArray.from_arrays(flat, self.dim)
         return t.append_column(self.out_col, col)
