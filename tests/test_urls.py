@@ -1,0 +1,61 @@
+"""URL curation kernels: domain extraction, per-domain stats, per-site cap."""
+
+import pandas as pd
+import pyarrow as pa
+
+
+def test_domain_of_vectorized():
+    from xs_vlm_ocr_ray.functions.urls import domain_of
+
+    urls = pa.array(
+        [
+            "https://Example.COM/path?q=1",
+            "http://sub.site.org:8080/x",
+            "file:///local/file.html",
+            "not a url",
+            None,
+        ]
+    )
+    got = domain_of(urls).to_pylist()
+    assert got[0] == "example.com"
+    assert got[1] == "sub.site.org"  # port stripped
+    assert got[2] is None  # file:// has an empty authority -> no domain
+    assert got[3] is None and got[4] is None
+
+
+def test_domain_stats(ray_session):
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.functions.urls import domain_stats
+
+    rows = [
+        {"url": "https://a.com/1", "extracted_text": "xxxx"},
+        {"url": "https://a.com/2", "extracted_text": "yy"},
+        {"url": "https://b.org/1", "extracted_text": "z"},
+        {"url": "garbage", "extracted_text": "ignored"},
+    ]
+    out = domain_stats(rd.from_items(rows))
+    assert out.to_dict("records") == [
+        {"domain": "a.com", "total_chars": 6, "n_pages": 2},
+        {"domain": "b.org", "total_chars": 1, "n_pages": 1},
+    ]
+
+
+def test_cap_per_domain(ray_session):
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.functions.urls import cap_per_domain
+
+    rows = [
+        {"url": f"https://{d}/p{i}", "shard_id": 0, "row_idx": n, "v": n}
+        for n, (d, i) in enumerate(
+            [("a.com", i) for i in range(5)] + [("b.org", i) for i in range(2)]
+        )
+    ]
+    out = cap_per_domain(rd.from_items(rows), max_per_domain=3).to_pandas()
+    # a.com capped to its FIRST 3 rows in lineage order; b.org untouched
+    assert len(out) == 5
+    kept_a = sorted(out[out["url"].str.contains("a.com")]["row_idx"])
+    assert kept_a == [0, 1, 2]
+    assert len(out[out["url"].str.contains("b.org")]) == 2
+    assert "_domain" not in out.columns and "_bucket" not in out.columns

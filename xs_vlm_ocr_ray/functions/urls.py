@@ -1,0 +1,113 @@
+"""URL kernels for web-corpus curation: vectorized domain extraction
+and per-domain aggregation.
+
+Common-Crawl-scale curation decisions are frequently made per DOMAIN
+(sampling caps per site, spam-domain blocklists, per-site quality
+priors). Both kernels are Arrow-native: the domain comes out of one
+``pc.extract_regex`` over the url column, and the stats follow the
+repo's standard partial-reduce → tiny-groupby shape (one row per
+domain per batch crosses the shuffle).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+# scheme://host[:port]/...  → host (lowercased; port stripped).
+_DOMAIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/:?#]+)"
+
+
+def domain_of(url_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized url → lowercase host; null for non-URL strings."""
+    if isinstance(url_col, pa.ChunkedArray):
+        url_col = url_col.combine_chunks()
+    hosts = pc.struct_field(pc.extract_regex(url_col, _DOMAIN_RE), "host")
+    return pc.utf8_lower(hosts)
+
+
+def add_domain(
+    ds: rd.Dataset, url_col: str = "url", out_col: str = "domain"
+) -> rd.Dataset:
+    """Append the domain column (null where the url has no scheme)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, domain_of(t[url_col]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def domain_stats(
+    ds: rd.Dataset,
+    url_col: str = "url",
+    text_col: str | None = "extracted_text",
+) -> pd.DataFrame:
+    """Per-domain page count (+ total text chars when ``text_col`` is
+    present): partial per-batch reduce → small groupby. The output is
+    one row per distinct domain — the corpus-curation side table for
+    per-site caps and priors."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        dom = domain_of(t[url_col])
+        cols: dict = {"domain": dom}
+        if text_col is not None and text_col in t.column_names:
+            cols["chars"] = pc.coalesce(
+                pc.utf8_length(t[text_col]), pa.scalar(0, pa.int64())
+            )
+        else:
+            cols["chars"] = pa.array([0] * len(dom), pa.int64())
+        t2 = pa.table(cols).filter(pc.is_valid(dom))
+        g = t2.group_by("domain").aggregate([("chars", "sum"), ("chars", "count")])
+        return g.rename_columns(["domain", "chars_part", "n_part"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(
+            Sum("chars_part", alias_name="total_chars"),
+            Sum("n_part", alias_name="n_pages"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+def cap_per_domain(
+    ds: rd.Dataset,
+    max_per_domain: int,
+    url_col: str = "url",
+    order_cols: tuple[str, ...] = ("shard_id", "row_idx"),
+    buckets: int = 4096,
+) -> rd.Dataset:
+    """Keep at most ``max_per_domain`` rows per domain — the standard
+    per-site sampling cap. Deterministic: the FIRST ``max_per_domain``
+    rows in lineage order win. Shuffle key is a coarse domain-hash
+    bucket (≤ ``buckets`` groups, not domain cardinality); the exact
+    per-domain head is a vectorized pandas pass inside each bucket."""
+    assert buckets > 0 and (buckets & (buckets - 1)) == 0
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        dom = domain_of(t[url_col])
+        dom = pc.coalesce(dom, pa.scalar("", pa.string()))
+        # stable string hash via arrow: reuse the utf8 bytes → use
+        # pandas hash (deterministic per env) for bucketing only
+        h = pd.util.hash_pandas_object(
+            dom.to_pandas(), index=False, hash_key="0123456789123456"
+        )
+        b = pa.array((h.to_numpy() % buckets).astype("int32"))
+        return t.append_column("_domain", dom).append_column("_bucket", b)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(list(order_cols), kind="mergesort")
+        out = df.groupby("_domain", sort=False).head(max_per_domain)
+        return out.drop(columns=["_domain", "_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
