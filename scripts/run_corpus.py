@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true", help="ignore existing manifest")
     ap.add_argument("--near-dedup", action="store_true",
                     help="training pipeline: add the MinHash near-dup stage 3")
+    ap.add_argument("--max-per-domain", type=int, default=None,
+                    help="training pipeline: per-site sampling cap after dedup")
     ap.add_argument("--concurrency", type=int, default=None,
                     help="actor-pool size for heavy engines (default: task pool)")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local)")
@@ -81,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             wave_shards=args.wave_shards,
             near_dedup=args.near_dedup,
+            max_per_domain=args.max_per_domain,
         )
     else:
         from xs_vlm_ocr_ray.engines.config import ConfigWatcher, default_config

@@ -140,3 +140,24 @@ def test_stage3_near_dedup(ray_session, tmp_path):
     # the near-dup pair collapsed to its min-lineage member (u0)
     assert list(got["url"]) == ["u0", "u2"]
     assert "_order" not in got.columns
+
+
+def test_training_max_per_domain(ray_session, tiny_pages_dir):
+    """Per-site sampling cap: with max_per_domain=1, each of the
+    fixture's 97 domains contributes at most one curated row."""
+    from xs_vlm_ocr_ray.functions.urls import domain_of
+    from xs_vlm_ocr_ray.pipelines.training import build_training_ds
+
+    uncapped = build_training_ds(tiny_pages_dir).to_pandas()
+    capped = build_training_ds(tiny_pages_dir, max_per_domain=1).to_pandas()
+    assert len(capped) < len(uncapped)
+    doms = domain_of(pa.array(capped["url"].tolist())).to_pylist()
+    counts = {}
+    for d in doms:
+        counts[d] = counts.get(d, 0) + 1
+    assert max(counts.values()) == 1
+    # deterministic: the min-lineage row per domain wins
+    merged = capped.merge(
+        uncapped, on=["url", "shard_id", "row_idx"], how="left", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()

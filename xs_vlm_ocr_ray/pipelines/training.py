@@ -113,9 +113,10 @@ def build_training_ds(
     sf_dir_or_paths,
     min_quality: float = 0.5,
     min_tokens: int = 20,
+    max_per_domain: int | None = None,
 ) -> rd.Dataset:
     """Lazy curated-dataset pipeline (filter → dedup keeps min-lineage
-    row per distinct extracted text)."""
+    row per distinct extracted text → optional per-site sampling cap)."""
 
     # exact dedup, deterministic keeper = min (shard_id, row_idx) per
     # distinct text. The naive plan — groupby(text_hash).map_groups over
@@ -142,7 +143,14 @@ def build_training_ds(
     # the old plan always paid.
     pre = build_filtered_ds(sf_dir_or_paths, min_quality, min_tokens)
     mat = pre.materialize()
-    return dedup_by_winner(mat)
+    out = dedup_by_winner(mat)
+    if max_per_domain is not None:
+        # per-site sampling cap AFTER dedup (caps apply to distinct
+        # content; the cap keeps the min-lineage rows per domain)
+        from ..functions.urls import cap_per_domain
+
+        out = cap_per_domain(out, max_per_domain)
+    return out
 
 
 def dedup_by_winner(mat: rd.Dataset) -> rd.Dataset:
@@ -165,6 +173,7 @@ def run_training_pipeline(
     resume: bool = True,
     wave_shards: int | None = None,
     near_dedup: bool = False,
+    max_per_domain: int | None = None,
 ) -> dict:
     """Execute the curation run. Returns gate counts.
 
@@ -190,7 +199,9 @@ def run_training_pipeline(
     # just to count its input
     total = read_pages(sf_dir_or_paths, columns=["url"]).count()
     if out_dir is None:
-        kept = build_training_ds(sf_dir_or_paths, min_quality, min_tokens).count()
+        kept = build_training_ds(
+            sf_dir_or_paths, min_quality, min_tokens, max_per_domain
+        ).count()
         return {"n_input": total, "n_curated": kept, "n_dropped": total - kept}
 
     from .extract import read_results, run_extract
@@ -222,6 +233,10 @@ def run_training_pipeline(
         kept = 0
     else:
         curated = dedup_by_winner(read_results(stage1))
+        if max_per_domain is not None:
+            from ..functions.urls import cap_per_domain
+
+            curated = cap_per_domain(curated, max_per_domain)
         curated.write_parquet(curated_dir)
         kept = rd.read_parquet(curated_dir).count()
     out = {
