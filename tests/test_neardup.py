@@ -196,3 +196,106 @@ def test_neardup_clusters_distributed_equivalence(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_lsh_pair_path_dataset_equivalence(docs_ds, ray_session):
+    """The Dataset-native LSH pair path (lsh_candidate_pairs_ds →
+    verify_pairs_jaccard_ds) must produce exactly the driver path's
+    verified pairs — same (a, b) set, same rounded jaccard values."""
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.stages.dedup import (
+        MinHasher,
+        lsh_band_rows,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_ds,
+        real_pairs_ds,
+        verify_pairs_jaccard,
+        verify_pairs_jaccard_ds,
+    )
+
+    sigs = docs_ds.map_batches(MinHasher(), batch_format="pyarrow")
+    bands = lsh_band_rows(sigs)
+
+    pairs_df = lsh_candidate_pairs(bands)
+    pairs_ds = real_pairs_ds(lsh_candidate_pairs_ds(bands))
+    got_pairs = pairs_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got_pairs) > 0  # the corpus plants near-dups
+    pd.testing.assert_frame_equal(
+        got_pairs.astype({"a": "int64", "b": "int64"}), pairs_df[["a", "b"]]
+    )
+
+    want = (
+        verify_pairs_jaccard(docs_ds, pairs_df, threshold=0.5)
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64"})
+    )
+    got = (
+        verify_pairs_jaccard_ds(docs_ds, pairs_ds, threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_lsh_pairs_ds_oversized_counter(ray_session):
+    """The skew counter survives the distributed pair dedup: with a
+    tiny max_bucket every bucket is oversized — zero pairs, non-zero
+    counter, and real_pairs_ds strips the counter rows."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import (
+        MinHasher,
+        lsh_band_rows,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_ds,
+        real_pairs_ds,
+    )
+
+    # 8 identical docs -> every band bucket holds all 8 ids > max_bucket=2
+    df = pd.DataFrame({"doc_id": range(8), "text": ["same text " * 20] * 8})
+    bands = lsh_band_rows(
+        rd.from_pandas(df).map_batches(MinHasher(), batch_format="pyarrow")
+    )
+    pairs = lsh_candidate_pairs(bands, max_bucket=2)
+    assert len(pairs) == 0
+    assert pairs.attrs["n_oversized_buckets"] > 0
+    assert real_pairs_ds(lsh_candidate_pairs_ds(bands, max_bucket=2)).count() == 0
+
+
+def test_drop_neardups_ds_routes(docs_ds, ray_session):
+    """drop_neardups_ds keeps the identical doc set on all three routes
+    (driver union-find / distributed CC + broadcast / CC + anti-join)."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import drop_neardups, drop_neardups_ds
+
+    pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    pairs_ds = rd.from_pandas(pairs)
+    want = (
+        drop_neardups(docs_ds, pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for kw in (
+        {},  # driver union-find (under driver_pair_limit)
+        {"driver_pair_limit": 0},  # distributed CC + broadcast filter
+        {"driver_pair_limit": 0, "broadcast_limit": 0},  # CC + anti-join
+    ):
+        got = (
+            drop_neardups_ds(docs_ds, pairs_ds, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+    # empty edge list: corpus unchanged
+    empty = rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                         "b": pd.Series([], dtype="int64")}))
+    assert drop_neardups_ds(docs_ds, empty).count() == docs_ds.count()

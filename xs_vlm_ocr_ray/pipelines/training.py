@@ -254,18 +254,22 @@ def run_training_pipeline(
 def _stage3_near_dedup(curated_dir: str, final_dir: str) -> int:
     """Optional stage 3: MinHash+LSH near-dup removal over the (exact-
     deduped) curated store — one representative per near-dup CLUSTER
-    (min lineage order), via pair generation → Jaccard verify →
-    union-find clustering → broadcast drop filter. The pair list is
-    skew-bounded small (LSH + max_bucket); the curated corpus streams
-    through one filter, never shuffles."""
+    (min lineage order). Dataset-native end to end: pair generation
+    (``lsh_candidate_pairs_ds``), Jaccard verify
+    (``verify_pairs_jaccard_ds`` — candidate shingle sets delivered to
+    pair rows by tagged reduce-side joins, never a driver dict), then
+    size-probed clustering (``drop_neardups_ds``: driver union-find for
+    small edge lists, distributed min-label CC above the threshold).
+    The curated corpus streams through one filter, never shuffles."""
     import shutil
 
     from ..stages.dedup import (
         MinHasher,
-        drop_neardups,
+        drop_neardups_ds,
         lsh_band_rows,
-        lsh_candidate_pairs,
-        verify_pairs_jaccard,
+        lsh_candidate_pairs_ds,
+        real_pairs_ds,
+        verify_pairs_jaccard_ds,
     )
 
     curated = rd.read_parquet(curated_dir)
@@ -276,15 +280,18 @@ def _stage3_near_dedup(curated_dir: str, final_dir: str) -> int:
     if docs is None:
         curated = curated.map_batches(add_lineage_order, batch_format="pyarrow")
         docs = curated.select_columns(["_order", "extracted_text"])
+    docs = docs.materialize()  # consumed twice: signatures + verify
 
     sigs = docs.map_batches(
         MinHasher(text_col="extracted_text", id_col="_order"), batch_format="pyarrow"
     )
-    pairs = lsh_candidate_pairs(lsh_band_rows(sigs, id_col="_order"), id_col="_order")
-    verified = verify_pairs_jaccard(
+    pairs = real_pairs_ds(
+        lsh_candidate_pairs_ds(lsh_band_rows(sigs, id_col="_order"), id_col="_order")
+    )
+    verified = verify_pairs_jaccard_ds(
         docs, pairs, text_col="extracted_text", id_col="_order", threshold=0.9
     )
-    final = drop_neardups(curated, verified[["a", "b"]], id_col="_order")
+    final = drop_neardups_ds(curated, verified, id_col="_order")
 
     def strip(t: pa.Table) -> pa.Table:
         return t.drop_columns([c for c in ("_order",) if c in t.column_names])

@@ -280,15 +280,17 @@ def lsh_band_rows(
     return sig_ds.map_batches(explode, batch_format="pyarrow")
 
 
-def lsh_candidate_pairs(
+def lsh_candidate_pairs_ds(
     band_ds: rd.Dataset,
     id_col: str = "doc_id",
     max_bucket: int = 64,
     coarse_buckets: int = 1024,
-) -> pd.DataFrame:
-    """LSH buckets → unique candidate pairs (small result, driver-side).
+) -> rd.Dataset:
+    """LSH buckets → DISTINCT candidate pairs, as a Dataset — the
+    corpus-scale path (the pair list never funnels through the driver;
+    ``lsh_candidate_pairs`` is the driver-side convenience wrapper).
     Buckets larger than ``max_bucket`` are skew-guarded: dropped with an
-    in-band count (``attrs['n_oversized_buckets']``).
+    in-band count.
 
     The shuffle key is a COARSE hash prefix (``band_hash mod
     coarse_buckets``), not the raw bucket: Ray's ``map_groups`` pays
@@ -297,10 +299,11 @@ def lsh_candidate_pairs(
     vectorized pandas groupby inside each coarse group cuts the group
     count by orders of magnitude without changing the result.
 
-    The oversized-bucket counter travels in a DEDICATED ``n_oversized``
-    column (counter rows carry a == b == 0, impossible for a real pair
-    since pairs are strict a < b) — never as a sentinel id, which would
-    collide with corpora whose ids include the sentinel value."""
+    Output columns: ``a``, ``b`` (strict a < b, one row per distinct
+    pair — a pair matching in several bands is deduped by a pair-keyed
+    groupby that shuffles int64 triples only) and ``n_oversized``
+    (skew counter rows carry a == b == 0, impossible for a real pair;
+    real pair rows carry 0 — filter ``n_oversized == 0`` for pairs)."""
     assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0, (
         f"coarse_buckets must be a power of two (got {coarse_buckets}): "
         "the shuffle key is computed with a bit mask"
@@ -341,18 +344,36 @@ def lsh_candidate_pairs(
             }
         )
 
-    pairs = (
+    return (
         band_ds.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(per_coarse, batch_format="pandas")
-        .to_pandas()
+        # distinct pairs (a pair can match in >1 band) + one combined
+        # counter row — an int64-triple shuffle, never driver-side
+        .groupby(["a", "b"])
+        .aggregate(Sum("n_oversized", alias_name="n_oversized"))
     )
+
+
+def lsh_candidate_pairs(
+    band_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+    coarse_buckets: int = 1024,
+) -> pd.DataFrame:
+    """Driver-side convenience wrapper over ``lsh_candidate_pairs_ds``
+    (query surface / small corpora): distinct (a, b) pairs as a
+    DataFrame with the oversized-bucket count in
+    ``attrs['n_oversized_buckets']``."""
+    pairs = lsh_candidate_pairs_ds(
+        band_ds, id_col=id_col, max_bucket=max_bucket, coarse_buckets=coarse_buckets
+    ).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": []})
     n_oversized = int(pairs["n_oversized"].sum())
     pairs = (
         pairs[pairs["n_oversized"] == 0][["a", "b"]]
-        .drop_duplicates()
+        .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
     pairs.attrs["n_oversized_buckets"] = n_oversized
@@ -394,6 +415,236 @@ def verify_pairs_jaccard(
         if j >= threshold:
             out.append({"a": int(a), "b": int(b), "jaccard": round(j, 6)})
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+
+
+def _candidate_id_array(pairs_ds: rd.Dataset) -> pa.Array:
+    """Distinct ids appearing in a pair Dataset, as a sorted int64
+    Arrow array for ``ray.put`` + ``is_in`` broadcast filters. The
+    distinct is computed DISTRIBUTED (per-batch unique → groupby);
+    only the final distinct id column lands on the driver — O(candidate
+    ids × 8 B), the same bound the n-gram path documents."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [
+                t["a"].combine_chunks().cast(pa.int64()),
+                t["b"].combine_chunks().cast(pa.int64()),
+            ]
+        )
+        return pa.table({"cid": pa.array(pd.unique(ids.to_numpy(zero_copy_only=False)), pa.int64())})
+
+    distinct = (
+        pairs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("cid")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["cid"])
+        .to_pandas()
+    )
+    return pa.array(np.sort(distinct["cid"].to_numpy()), pa.int64())
+
+
+def verify_pairs_jaccard_ds(
+    docs_ds: rd.Dataset,
+    pairs_ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    coarse_buckets: int = 1024,
+) -> rd.Dataset:
+    """Exact Jaccard verification of candidate pairs, Dataset-native —
+    the corpus-scale path (``verify_pairs_jaccard`` is the driver-side
+    wrapper; at 100 TB the per-candidate shingle SETS must never live in
+    one driver dict).
+
+    Plan: candidate ids (ints only) broadcast into an ``is_in`` filter →
+    per-candidate shingle lists computed distributed → two tagged
+    REDUCE-SIDE joins (the ``neardup_clusters_distributed`` pattern:
+    shingle rows and pair rows unioned under one schema, grouped by a
+    coarse key-hash, resolved with a vectorized pandas merge inside each
+    bucket — no ``Dataset.join``) deliver each pair its two shingle
+    lists; the exact Jaccard is computed inside the second join's
+    groups, so the widest intermediate (pair + both lists) never leaves
+    its reduce task.
+
+    Semantics match ``verify_pairs_jaccard`` with one edge: a pair
+    whose id has NO row in ``docs_ds`` is dropped by the inner merge
+    (the driver path scores a missing doc as an empty set). Pairs
+    produced from ``docs_ds`` itself — the only supported lineage —
+    never hit this. Both-empty shingle sets score 1.0, one-empty 0.0,
+    exactly like ``functions.textstats.jaccard``.
+
+    Input ``pairs_ds`` columns: ``a``, ``b`` (strict a < b; filter any
+    ``n_oversized`` counter rows first — see ``real_pairs_ds``).
+    Output: (a, b, jaccard) rows with jaccard ≥ threshold, rounded 6.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0
+    pairs_ds = pairs_ds.materialize()  # consumed twice: id scan + join
+    if pairs_ds.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cand_ref = ray.put(_candidate_id_array(pairs_ds))
+
+    def collect(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[id_col], value_set=ray.get(cand_ref)))
+        ids, sh = [], []
+        for i, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ids.append(i)
+            # sorted array → assume_unique intersect downstream
+            sh.append(np.sort(np.fromiter(shingles(x or "", shingle_k), dtype=np.uint64)))
+        return pa.table(
+            {"key": pa.array(ids, pa.int64()), "sh": pa.array(sh, pa.list_(pa.uint64()))}
+        )
+
+    sh_ds = docs_ds.map_batches(collect, batch_format="pyarrow").materialize()
+
+    sh_t = pa.list_(pa.uint64())
+
+    def _coarse(keys: pa.Array) -> pa.Array:
+        return pc.cast(
+            pc.bit_wise_and(keys, pa.scalar(coarse_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    # ---- pass A: deliver sh(a) to each pair --------------------------
+    def tag_sh_a(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "key": t["key"],
+                "coarse": _coarse(t["key"].combine_chunks()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "a": z,
+                "b": z,
+                "sh": t["sh"],
+            }
+        )
+
+    def tag_pairs_a(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = t["a"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "coarse": _coarse(key),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "a": key,
+                "b": t["b"].combine_chunks().cast(pa.int64()),
+                "sh": pa.array([None] * n, sh_t),
+            }
+        )
+
+    def join_a(df: pd.DataFrame) -> pa.Table:
+        lab = df[df["kind"] == 0][["key", "sh"]]
+        prs = df[df["kind"] == 1][["key", "a", "b"]]
+        m = prs.merge(lab, on="key", how="inner")
+        return pa.table(
+            {
+                "a": pa.array(m["a"].to_numpy(dtype=np.int64, na_value=0), pa.int64()),
+                "b": pa.array(m["b"].to_numpy(dtype=np.int64, na_value=0), pa.int64()),
+                "sh_a": pa.array(list(m["sh"]), sh_t),
+            }
+        )
+
+    with_a = (
+        sh_ds.map_batches(tag_sh_a, batch_format="pyarrow")
+        .union(pairs_ds.map_batches(tag_pairs_a, batch_format="pyarrow"))
+        .groupby("coarse")
+        .map_groups(join_a, batch_format="pandas")
+    )
+
+    # ---- pass B: deliver sh(b), score inside the reduce task ---------
+    def tag_sh_b(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "key": t["key"],
+                "coarse": _coarse(t["key"].combine_chunks()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "a": z,
+                "b": z,
+                "sh_a": pa.array([None] * n, sh_t),
+                "sh_b": t["sh"],
+            }
+        )
+
+    def tag_pairs_b(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "coarse": _coarse(key),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "a": t["a"].combine_chunks().cast(pa.int64()),
+                "b": key,
+                "sh_a": t["sh_a"],
+                "sh_b": pa.array([None] * n, sh_t),
+            }
+        )
+
+    def join_b_score(df: pd.DataFrame) -> pa.Table:
+        lab = df[df["kind"] == 0][["key", "sh_b"]]
+        prs = df[df["kind"] == 1][["key", "a", "b", "sh_a"]]
+        m = prs.merge(lab, on="key", how="inner")
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for a, b, xa, xb in zip(m["a"], m["b"], m["sh_a"], m["sh_b"]):
+            la, lb = len(xa), len(xb)
+            if la == 0 and lb == 0:
+                j = 1.0
+            elif la == 0 or lb == 0:
+                j = 0.0
+            else:
+                inter = np.intersect1d(
+                    np.asarray(xa, dtype=np.uint64),
+                    np.asarray(xb, dtype=np.uint64),
+                    assume_unique=True,
+                ).size
+                j = inter / (la + lb - inter)
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return (
+        sh_ds.map_batches(tag_sh_b, batch_format="pyarrow")
+        .union(with_a.map_batches(tag_pairs_b, batch_format="pyarrow"))
+        .groupby("coarse")
+        .map_groups(join_b_score, batch_format="pandas")
+    )
+
+
+def real_pairs_ds(pairs_ds: rd.Dataset) -> rd.Dataset:
+    """Strip skew-counter rows (and the counter column) from a
+    ``lsh_candidate_pairs_ds`` output, leaving pure (a, b) edges."""
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["n_oversized"], pa.scalar(0, t["n_oversized"].type)))
+        return t.select([c for c in ("a", "b") if c in t.column_names])
+
+    return pairs_ds.map_batches(keep, batch_format="pyarrow")
 
 
 # --- n-gram Jaccard near-dup (inverted shingle index) --------------------
@@ -907,6 +1158,92 @@ def drop_neardups(
         )
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def drop_neardups_ds(
+    docs_ds: rd.Dataset,
+    pairs_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    driver_pair_limit: int = 1_000_000,
+    broadcast_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """Keep one representative per near-dup cluster — Dataset-native
+    edge input (the library/corpus-scale path; ``drop_neardups`` takes a
+    driver DataFrame).
+
+    Size-probed routing, mirroring ``embedding_neardup_pairs``:
+
+    - ≤ ``driver_pair_limit`` edges: collect the (int64, int64) edge
+      list and run the driver union-find — exactly ``drop_neardups``;
+    - above it: ``neardup_clusters_distributed`` (min-label
+      propagation; shuffles int64 triples only), then the drop set
+      (non-representative members) is broadcast into a streaming
+      ``is_in`` filter under ``broadcast_limit``, else anti-joined via
+      a bounded-partition hash shuffle. The corpus itself never
+      shuffles on any route."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    pairs_mat = pairs_ds.select_columns(["a", "b"]).materialize()
+    n_pairs = pairs_mat.count()
+    if n_pairs == 0:
+        return docs_ds
+    if n_pairs <= driver_pair_limit:
+        return drop_neardups(docs_ds, pairs_mat.to_pandas(), id_col=id_col)
+
+    clusters = neardup_clusters_distributed(pairs_mat)
+
+    def non_reps(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+        return t.select(["doc_id"])
+
+    drop_ds = clusters.map_batches(non_reps, batch_format="pyarrow").materialize()
+    if drop_ds.count() <= broadcast_limit:
+        drop_ids = drop_ds.to_pandas()["doc_id"].to_numpy()
+        ref = ray.put(pa.array(np.sort(drop_ids), pa.int64()))
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t[id_col], value_set=ray.get(ref))))
+
+        return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+    # anti-join: left_outer against a marked drop set, keep the
+    # unmatched rows (marker null). Partition count bounded by cluster
+    # CPUs (one aggregator actor per partition — see _join_partitions).
+    # The right key gets a UNIQUE name: Ray 2.49's join planner raises
+    # "multiple matches for key field" when both sides share the name.
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_drop_id": t["doc_id"],
+                "_drop": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    # repartition before the join: the CC's map_groups stages leave
+    # schema-less EMPTY pandas blocks in the stream (Ray 2.49 emits
+    # PandasBlockSchema(names=[]) for groupless partitions and skips
+    # them in later map stages); a join whose right side carries such
+    # blocks synthesizes empty partitions without the key column and
+    # acero fails with "no match for key field". Repartition
+    # concatenates them away (cheap: the drop set, not the corpus).
+    joined = docs_ds.join(
+        drop_ds.map_batches(mark, batch_format="pyarrow").repartition(
+            _join_partitions()
+        ),
+        join_type="left_outer",
+        num_partitions=_join_partitions(),
+        on=(id_col,),
+        right_on=("_drop_id",),
+    )
+
+    def keep_unmarked(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["_drop"]))
+        gone = [c for c in ("_drop", "_drop_id") if c in t.column_names]
+        return t.drop_columns(gone)
+
+    return joined.map_batches(keep_unmarked, batch_format="pyarrow")
 
 
 def neardup_clusters_distributed(
