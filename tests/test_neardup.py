@@ -299,3 +299,37 @@ def test_drop_neardups_ds_routes(docs_ds, ray_session):
     empty = rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                          "b": pd.Series([], dtype="int64")}))
     assert drop_neardups_ds(docs_ds, empty).count() == docs_ds.count()
+
+
+def test_q_neardup_clusters_matches_union_find(ray_session):
+    """The q_neardup_clusters registry entry (distributed CC over the
+    exact n-gram pair list) equals the driver union-find clustering."""
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.pipelines.queries import q_neardup_clusters
+    from xs_vlm_ocr_ray.stages.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    got = q_neardup_clusters(sf)
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    want = neardup_clusters(pairs).sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_q_text_embed_ann_deterministic(ray_session):
+    """embed→ANN pipeline row: deterministic across runs; the query doc
+    itself ranks first with cosine 1.0."""
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.pipelines.queries import q_text_embed_ann
+
+    sf = "/root/testdata/sf0.001"
+    a = q_text_embed_ann(sf)
+    b = q_text_embed_ann(sf)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 10
+    assert a.loc[0, "doc_id"] == 0 and a.loc[0, "sim"] == 1.0

@@ -59,3 +59,21 @@ def test_cap_per_domain(ray_session):
     assert kept_a == [0, 1, 2]
     assert len(out[out["url"].str.contains("b.org")]) == 2
     assert "_domain" not in out.columns and "_bucket" not in out.columns
+
+
+def test_q_domain_stats_matches_duckdb(ray_session):
+    """The q_domain_stats registry entry matches its DuckDB oracle at
+    sf0.001 (same derived urls, same lowercase/port/no-scheme rules)."""
+    import duckdb
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.pipelines.queries import _DOMAIN_STATS_SQL, q_domain_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = q_domain_stats(sf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(_DOMAIN_STATS_SQL).df().astype(
+        {"total_chars": "int64", "n_pages": "int64"}
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)

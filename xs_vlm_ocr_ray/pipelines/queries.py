@@ -1169,6 +1169,138 @@ def q_doc_simhash(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def q_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-domain curation side table (functions/urls.py
+    ``domain_stats``): vectorized ``pc.extract_regex`` domain extraction
+    + partial-reduce per-domain (pages, chars) aggregation — the
+    reference's per-source result grouping generalized to web domains
+    (SURVEY.md A5 analog at corpus scale). The driver tables carry no
+    url column, so one is DERIVED deterministically from (source,
+    doc_id) identically in both engines; the variants exercise host
+    lowercasing, port stripping and the no-scheme null filter."""
+    from ..functions.urls import domain_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def mk_url(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"]
+        sid = did.astype(str)
+        url = np.where(
+            did % 7 == 0,
+            "no-scheme-" + sid,
+            np.where(
+                did % 3 == 0,
+                "http://" + df["source"].str.upper() + ".Example.org:8080/p/" + sid,
+                "https://" + df["source"] + ".example.com/docs/" + sid,
+            ),
+        )
+        return pd.DataFrame({"url": url, "text": df["text"]})
+
+    out = domain_stats(
+        ds.map_batches(mk_url, batch_format="pandas"), url_col="url", text_col="text"
+    )
+    return out.astype({"total_chars": "int64", "n_pages": "int64"})
+
+
+_DOMAIN_STATS_SQL = """
+WITH urls AS (
+  SELECT CASE
+           WHEN doc_id % 7 = 0 THEN 'no-scheme-' || doc_id
+           WHEN doc_id % 3 = 0 THEN 'http://' || UPPER(source) || '.Example.org:8080/p/' || doc_id
+           ELSE 'https://' || source || '.example.com/docs/' || doc_id
+         END AS url, text
+  FROM documents
+)
+SELECT LOWER(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS domain,
+       CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM urls
+WHERE regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+GROUP BY domain ORDER BY domain
+"""
+
+
+def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTERING via the distributed min-label connected
+    components (stages/dedup.py ``neardup_clusters_distributed`` — the
+    corpus-scale path that shuffles only int64 triples) over the exact
+    n-gram Jaccard pair list, oracle-checked against a DuckDB
+    recursive-CTE transitive closure. One row per doc in any pair;
+    cluster_id = min doc_id of the component."""
+    from ..stages.dedup import neardup_clusters_distributed, ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    if pairs.attrs.get("n_capped_postings", 0) != 0:
+        raise ValueError(
+            "posting cap engaged - the uncapped SQL oracle would not be "
+            "exact; raise max_posting for this corpus"
+        )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster_id": pd.Series([], dtype="int64")}
+        )
+    clusters = neardup_clusters_distributed(rd.from_pandas(pairs[["a", "b"]]))
+    return clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_NEARDUP_CLUSTERS_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i
+  FROM words
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS s
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+def q_text_embed_ann(sf_dir: str) -> pd.DataFrame:
+    """Text → embedding → similarity search, end to end: the
+    deterministic encoder stage (stages/embed.py ``TextEmbedder``, the
+    T1 weights-pinned pattern) produces the ``embedding`` column, then
+    brute-force cosine top-10 against the embedding of doc 0's text.
+    Not SQL-expressible (blake2b hashing-trick encoder) → rows-only;
+    encoder determinism and the ANN merge order are pytest-gated."""
+    from ..stages.ann import brute_force_topk
+    from ..stages.embed import TextEmbedder, add_embeddings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = add_embeddings(docs, text_col="text").select_columns(
+        ["doc_id", "embedding"]
+    )
+    t = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    idx = t["doc_id"].to_pylist().index(0)
+    q = TextEmbedder()._encode(t["text"][idx].as_py() or "")
+    return brute_force_topk(emb, q, k=10, id_col="doc_id")
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 
@@ -1557,7 +1689,7 @@ QUERIES = {
     "q_events_sessions": q_events_sessions,
     "q_events_drop_consecutive": q_events_drop_consecutive,
     "q_set_ops": q_set_ops,
-    "q_events_sample": q_events_sample,
+    "q_domain_stats": q_domain_stats,
     "q_doc_keyword_count": q_doc_keyword_count,
     "q_char_metric": q_char_metric,
     "q_doc_preview": q_doc_preview,
@@ -1570,13 +1702,20 @@ QUERIES = {
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
     "q_doc_simhash_neardup": q_doc_simhash_neardup,
     "q_doc_embed_neardup": q_doc_embed_neardup,
-    "q_doc_simhash": q_doc_simhash,
+    "q_neardup_clusters": q_neardup_clusters,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_text_embed_ann": q_text_embed_ann,
     "q_media_image_features": q_media_image_features,
     "q_media_audio_features": q_media_audio_features,
-    "q_media_video_frames": q_media_video_frames,
 }
+# Registry swaps this round (the cap is exactly 50 — see above):
+# q_events_sample, q_doc_simhash, q_media_video_frames moved OUT of the
+# registry (still implemented + pytest-gated: sampling is trivial, the
+# simhash kernel is evidenced by q_doc_simhash_neardup, the video path
+# by the image/audio rows + stub-codec tests) to make room for
+# oracle-checked q_domain_stats / q_neardup_clusters and the
+# embed→ANN pipeline row q_text_embed_ann.
 
 ORACLE_SQL = {
     "q1_lineitem_agg": _Q1_SQL,
@@ -1609,6 +1748,8 @@ ORACLE_SQL = {
     "q_doc_exact_dedup": _DOC_DEDUP_SQL,
     "q_doc_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "q_doc_embed_neardup": _EMBED_NEARDUP_SQL,
+    "q_domain_stats": _DOMAIN_STATS_SQL,
+    "q_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
     "q_ann_topk": _ANN_TOPK_SQL,
     # q_doc_minhash_neardup / q_doc_simhash / q_doc_fingerprint /
     # q_doc_langid / q_doc_quality / q_ann_lsh_topk / extract_pages:
