@@ -129,3 +129,38 @@ def test_pdf_bytes_structure_property(text):
     for num, off in enumerate(re.findall(rb"(\d{10}) 00000 n", raw), start=1):
         head = b"%d 0 obj" % num
         assert raw[int(off) : int(off) + len(head)] == head
+
+
+def test_annotate_batch_matches_per_doc_kernels():
+    """The vectorized annotate kernel (functions/textstats.annotate_batch)
+    is byte-compatible with the per-doc reference kernels lang_id /
+    quality_score / token_count_ws over corpus text and edge cases."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xs_vlm_ocr_ray.functions.textstats import (
+        annotate_batch,
+        lang_id,
+        quality_score,
+    )
+
+    corpus = [
+        x or ""
+        for x in pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        )["text"].to_pylist()
+    ]
+    edge = [
+        "", " ", "\t\n ", "one", "  padded  words  ",
+        "中文 一 二 三 四 五 " * 400, "。。。", "一二三",
+        "the and of to is in that it", "der die das und ist",
+        "le la les et est", "el la los y es", "zeit für die",
+        "word " * 150, "x" * 5000 + " the end", "ab.cd,ef!?…，。；：！？",
+    ]
+    texts = corpus + edge
+    got = annotate_batch(pa.array(texts, pa.string()))
+    for i, x in enumerate(texts):
+        words = x.split()
+        assert got["lang_pred"][i] == lang_id(x), repr(x[:60])
+        assert got["quality"][i] == quality_score(x, words), repr(x[:60])
+        assert got["n_tokens"][i] == len(words), repr(x[:60])

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..functions.textstats import lang_id, quality_score
+from ..functions.textstats import annotate_batch
 from .routed import build_routed_extract_ds
 
 # Winner-set broadcast cap for the dedup election (int64 keys; 5M ≈
@@ -35,25 +35,21 @@ _WINNER_BROADCAST_LIMIT = 5_000_000
 
 
 def _annotate(t: pa.Table) -> pa.Table:
-    texts = t["extracted_text"].to_pylist()
+    # vectorized Arrow kernels for lang/quality/tokens (the per-doc
+    # Python loops were ~75% of this stage's CPU — see
+    # functions/textstats.annotate_batch, pytest-gated byte-compatible
+    # with the per-doc reference kernels); md5 stays a per-doc loop
+    # (hashlib releases the GIL-free C path, ~5% of the stage)
+    ann = annotate_batch(t["extracted_text"])
     md5 = hashlib.md5
-    lang: list[str] = []
-    q: list[float] = []
-    toks: list[int] = []
-    thash: list[str] = []
-    # fused per-doc pass: ONE split shared by quality + token count
-    # (lang_id keeps its own sample-bounded tokenization)
-    for x in texts:
-        x = x or ""
-        words = x.split()
-        lang.append(lang_id(x))
-        q.append(quality_score(x, words))
-        toks.append(len(words))
-        thash.append(md5(x.encode("utf-8")).hexdigest())
+    thash = [
+        md5((x or "").encode("utf-8")).hexdigest()
+        for x in t["extracted_text"].to_pylist()
+    ]
     return (
-        t.append_column("lang_pred", pa.array(lang, pa.string()))
-        .append_column("quality", pa.array(q, pa.float64()))
-        .append_column("n_tokens", pa.array(toks, pa.int64()))
+        t.append_column("lang_pred", pa.array(ann["lang_pred"], pa.string()))
+        .append_column("quality", pa.array(ann["quality"], pa.float64()))
+        .append_column("n_tokens", pa.array(ann["n_tokens"], pa.int64()))
         .append_column("text_hash", pa.array(thash, pa.string()))
     )
 
