@@ -135,3 +135,49 @@ def test_entry_smoke(ray_session):
     import pandas as pd
 
     assert res is not None
+
+
+def test_read_results_manifest_pruning(ray_session, tiny_pages_dir, tmp_path_factory):
+    """Predicate-pushed manifest pruning: shard_ids / row_range reads
+    prune FILES before read_parquet (via the manifest's per-shard
+    records) and return exactly the rows a full read + filter would."""
+    import os
+
+    from xs_vlm_ocr_ray.pipelines.extract import (
+        read_results,
+        run_extract,
+        select_result_files,
+    )
+    from xs_vlm_ocr_ray.state.manifest import load_manifest
+
+    out = str(tmp_path_factory.mktemp("pruned") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=2)  # multi-wave store
+    man = load_manifest(out)
+    assert len(man) >= 4
+
+    full = read_results(out).to_pandas()
+
+    # shard-id pruning
+    want_ids = sorted(man)[:2]
+    got = read_results(out, shard_ids=want_ids).to_pandas()
+    want = full[full["shard_id"].isin(want_ids)]
+    assert sorted(got["url"]) == sorted(want["url"])
+    # the pruned plan lists strictly fewer files than the full plan
+    auth_all = {(os.path.basename(r["wave_dir"]), s) for s, r in man.items()}
+    man_sub = {s: man[s] for s in want_ids}
+    auth_sub = {(os.path.basename(r["wave_dir"]), s) for s, r in man_sub.items()}
+    n_all = len(select_result_files(out, man, auth_all))
+    n_sub = len(select_result_files(out, man_sub, auth_sub))
+    assert 0 < n_sub < n_all
+
+    # row-range pruning (exact filter on survivors)
+    lo, hi = 0, 9
+    got_r = read_results(out, row_range=(lo, hi)).to_pandas()
+    want_r = full[(full["row_idx"] >= lo) & (full["row_idx"] <= hi)]
+    assert sorted(got_r["url"]) == sorted(want_r["url"])
+    # combined
+    got_c = read_results(out, shard_ids=want_ids, row_range=(lo, hi)).to_pandas()
+    want_c = want[(want["row_idx"] >= lo) & (want["row_idx"] <= hi)]
+    assert sorted(got_c["url"]) == sorted(want_c["url"])
+    # empty prune result is an empty dataset, not an error
+    assert read_results(out, shard_ids=[99999]).count() == 0

@@ -205,15 +205,72 @@ def run_extract(
     }
 
 
-def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def select_result_files(
+    out_dir: str, man: dict, authorized: set
+) -> list[str]:
+    """File-level manifest pruning: list candidate parquet files under
+    the manifest's wave dirs, keeping only files whose
+    (wave name, shard id parsed from the ``part-s<sid>-r<row>`` name)
+    is authorized. Shards pruned from ``man`` (by id or row range)
+    never reach ``read_parquet`` — at 100 TB the plan opens only the
+    files it needs, instead of row-filtering everything."""
+    import re
+
+    name_re = re.compile(r"part-s(\d+)-r\d+\.parquet$")
+    wave_dirs = sorted(
+        {
+            os.path.join(os.path.abspath(out_dir), "results",
+                         os.path.basename(rec["wave_dir"]))
+            for rec in man.values()
+        }
+    )
+    files = []
+    for wd in wave_dirs:
+        wave_name = os.path.basename(wd)
+        for f in sorted(os.listdir(wd)):
+            if not f.endswith(".parquet"):
+                continue
+            m = name_re.match(f)
+            # unparseable names are kept — the per-batch authorized
+            # filter still guards them row-wise
+            if m is None or (wave_name, int(m.group(1))) in authorized:
+                files.append(os.path.join(wd, f))
+    return files
+
+
+def read_results(
+    out_dir: str,
+    columns: list[str] | None = None,
+    shard_ids=None,
+    row_range: tuple[int, int] | None = None,
+) -> rd.Dataset:
     """Read back the engine's results authoritatively via the manifest.
 
     Each shard is read only from the wave directory its manifest record
     points at, so stale data from crashed/partially-manifested waves is
     never surfaced (the analog of the reference reading results only
     through its committed SQLite table, HistoryManager.cpp:153-229).
+
+    Predicate-pushed manifest pruning (the reference's indexed
+    time-range scans, HistoryManager.cpp:153-229, generalized):
+
+    - ``shard_ids``: read only these shards — pruned at the FILE list,
+      before ``read_parquet``;
+    - ``row_range``: inclusive ``(lo, hi)`` on ``row_idx`` — shards
+      whose manifest ``[row_min, row_max]`` misses the range are
+      file-pruned; an exact row filter is applied on the survivors.
     """
     man = load_manifest(out_dir)
+    if shard_ids is not None:
+        keep_ids = set(int(s) for s in shard_ids)
+        man = {sid: rec for sid, rec in man.items() if sid in keep_ids}
+    if row_range is not None:
+        lo, hi = row_range
+        man = {
+            sid: rec
+            for sid, rec in man.items()
+            if rec["n_rows"] > 0 and rec["row_max"] >= lo and rec["row_min"] <= hi
+        }
     if not man:
         return rd.from_items([])
     # (wave_dir, shard_id) pairs authorized by the manifest — ONE read
@@ -226,22 +283,10 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     authorized = {
         (os.path.basename(rec["wave_dir"]), sid) for sid, rec in man.items()
     }
-    # re-root wave dirs under the CALLER's out_dir (wave names are
-    # unique within it) — robust to a relocated/renamed output tree and
-    # to manifests written with a different cwd
-    wave_dirs = sorted(
-        {
-            os.path.join(os.path.abspath(out_dir), "results",
-                         os.path.basename(rec["wave_dir"]))
-            for rec in man.values()
-        }
-    )
-    files = [
-        os.path.join(wd, f)
-        for wd in wave_dirs
-        for f in sorted(os.listdir(wd))
-        if f.endswith(".parquet")
-    ]
+    # wave dirs are re-rooted under the CALLER's out_dir inside
+    # select_result_files (wave names are unique within it) — robust to
+    # a relocated output tree and manifests written with a different cwd
+    files = select_result_files(out_dir, man, authorized)
     if not files:
         # a fully-filtered run manifests every shard with zero rows and
         # writes no parquet at all — an empty dataset, not an error
@@ -249,12 +294,15 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     cols = columns
     if cols is not None and "shard_id" not in cols:
         cols = list(cols) + ["shard_id"]
+    if cols is not None and row_range is not None and "row_idx" not in cols:
+        cols = list(cols) + ["row_idx"]
     ds = rd.read_parquet(files, columns=cols, include_paths=True)
 
     def keep(t: pa.Table) -> pa.Table:
         import os as _os
 
         import numpy as np
+        import pyarrow.compute as pc
 
         paths = t["path"].to_pylist()
         sids = t["shard_id"].to_pylist()
@@ -267,6 +315,13 @@ def read_results(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
             count=len(paths),
         )
         out = t.filter(pa.array(mask))
+        if row_range is not None:
+            out = out.filter(
+                pc.and_(
+                    pc.greater_equal(out["row_idx"], pa.scalar(row_range[0])),
+                    pc.less_equal(out["row_idx"], pa.scalar(row_range[1])),
+                )
+            )
         return out.drop_columns(["path"])
 
     return ds.map_batches(keep, batch_format="pyarrow")
