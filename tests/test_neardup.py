@@ -333,3 +333,61 @@ def test_q_text_embed_ann_deterministic(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 10
     assert a.loc[0, "doc_id"] == 0 and a.loc[0, "sim"] == 1.0
+
+
+def test_simhash_pairs_ds_equivalence(docs_ds, ray_session):
+    """simhash_neardup_pairs_ds == the driver-side generator."""
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.stages.dedup import (
+        simhash_neardup_pairs,
+        simhash_neardup_pairs_ds,
+    )
+
+    want = simhash_neardup_pairs(docs_ds, max_hamming=3)
+    got = (
+        simhash_neardup_pairs_ds(docs_ds, max_hamming=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got, want.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+    )
+
+
+def test_ngram_pairs_ds_equivalence(docs_ds, ray_session):
+    """ngram_jaccard_pairs_ds == the driver-side generator (uncapped at
+    this scale), and the capped-posting counter survives the Dataset
+    path when a tiny cap engages."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_ds,
+        real_pairs_ds,
+    )
+
+    want = ngram_jaccard_pairs(docs_ds, threshold=0.3)
+    assert want.attrs["n_capped_postings"] == 0
+    got = (
+        real_pairs_ds(
+            ngram_jaccard_pairs_ds(docs_ds, threshold=0.3), counter_col="n_capped"
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+    # cap engagement: identical docs -> every posting list holds all
+    # ids > max_posting=2 -> no pairs, counter rows present
+    df = pd.DataFrame({"doc_id": range(6), "text": ["same words here okay fine now" * 4] * 6})
+    capped = ngram_jaccard_pairs_ds(
+        rd.from_pandas(df), threshold=0.1, max_posting=2
+    ).to_pandas()
+    assert (capped["n_capped"] > 0).any()
+    assert len(capped[capped["n_capped"] == 0]) == 0

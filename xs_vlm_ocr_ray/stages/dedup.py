@@ -280,17 +280,17 @@ def lsh_band_rows(
     return sig_ds.map_batches(explode, batch_format="pyarrow")
 
 
-def lsh_candidate_pairs_ds(
+def _lsh_pair_rows(
     band_ds: rd.Dataset,
     id_col: str = "doc_id",
     max_bucket: int = 64,
     coarse_buckets: int = 1024,
 ) -> rd.Dataset:
-    """LSH buckets → DISTINCT candidate pairs, as a Dataset — the
-    corpus-scale path (the pair list never funnels through the driver;
-    ``lsh_candidate_pairs`` is the driver-side convenience wrapper).
-    Buckets larger than ``max_bucket`` are skew-guarded: dropped with an
-    in-band count.
+    """Shared head of the LSH pair generators: banded buckets →
+    per-bucket pair emission (skew-guarded), possibly one row per
+    matching band. Callers dedup — driver ``drop_duplicates``
+    (``lsh_candidate_pairs``) or a pair-keyed groupby
+    (``lsh_candidate_pairs_ds``).
 
     The shuffle key is a COARSE hash prefix (``band_hash mod
     coarse_buckets``), not the raw bucket: Ray's ``map_groups`` pays
@@ -299,11 +299,9 @@ def lsh_candidate_pairs_ds(
     vectorized pandas groupby inside each coarse group cuts the group
     count by orders of magnitude without changing the result.
 
-    Output columns: ``a``, ``b`` (strict a < b, one row per distinct
-    pair — a pair matching in several bands is deduped by a pair-keyed
-    groupby that shuffles int64 triples only) and ``n_oversized``
+    Output columns: ``a``, ``b`` (strict a < b) and ``n_oversized``
     (skew counter rows carry a == b == 0, impossible for a real pair;
-    real pair rows carry 0 — filter ``n_oversized == 0`` for pairs)."""
+    real pair rows carry 0)."""
     assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0, (
         f"coarse_buckets must be a power of two (got {coarse_buckets}): "
         "the shuffle key is computed with a bit mask"
@@ -348,10 +346,26 @@ def lsh_candidate_pairs_ds(
         band_ds.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(per_coarse, batch_format="pandas")
-        # distinct pairs (a pair can match in >1 band) + one combined
-        # counter row — an int64-triple shuffle, never driver-side
-        .groupby(["a", "b"])
-        .aggregate(Sum("n_oversized", alias_name="n_oversized"))
+    )
+
+
+def lsh_candidate_pairs_ds(
+    band_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+    coarse_buckets: int = 1024,
+) -> rd.Dataset:
+    """LSH buckets → DISTINCT candidate pairs, as a Dataset — the
+    corpus-scale path (the pair list never funnels through the driver).
+    A pair matching in several bands is deduped by a pair-keyed groupby
+    that shuffles int64 triples only. Output columns: ``a``, ``b``,
+    ``n_oversized`` (see ``_lsh_pair_rows``; filter counter rows with
+    ``real_pairs_ds``)."""
+    raw = _lsh_pair_rows(
+        band_ds, id_col=id_col, max_bucket=max_bucket, coarse_buckets=coarse_buckets
+    )
+    return raw.groupby(["a", "b"]).aggregate(
+        Sum("n_oversized", alias_name="n_oversized")
     )
 
 
@@ -361,11 +375,13 @@ def lsh_candidate_pairs(
     max_bucket: int = 64,
     coarse_buckets: int = 1024,
 ) -> pd.DataFrame:
-    """Driver-side convenience wrapper over ``lsh_candidate_pairs_ds``
-    (query surface / small corpora): distinct (a, b) pairs as a
-    DataFrame with the oversized-bucket count in
-    ``attrs['n_oversized_buckets']``."""
-    pairs = lsh_candidate_pairs_ds(
+    """Driver-side convenience wrapper (query surface / small corpora):
+    distinct (a, b) pairs as a DataFrame with the oversized-bucket count
+    in ``attrs['n_oversized_buckets']``. Shares the banded-bucket plan
+    with ``lsh_candidate_pairs_ds`` but dedups pairs driver-side — a
+    small pair list doesn't need the _ds path's pair-keyed shuffle
+    (measured: the extra aggregate costs seconds at query scale)."""
+    pairs = _lsh_pair_rows(
         band_ds, id_col=id_col, max_bucket=max_bucket, coarse_buckets=coarse_buckets
     ).to_pandas()
     if pairs.empty:
@@ -373,6 +389,7 @@ def lsh_candidate_pairs(
     n_oversized = int(pairs["n_oversized"].sum())
     pairs = (
         pairs[pairs["n_oversized"] == 0][["a", "b"]]
+        .drop_duplicates()
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
@@ -440,6 +457,8 @@ def _candidate_id_array(pairs_ds: rd.Dataset) -> pa.Array:
         .select_columns(["cid"])
         .to_pandas()
     )
+    if "cid" not in distinct.columns:  # empty pair set -> schema-less df
+        return pa.array([], pa.int64())
     return pa.array(np.sort(distinct["cid"].to_numpy()), pa.int64())
 
 
@@ -635,52 +654,210 @@ def verify_pairs_jaccard_ds(
     )
 
 
-def real_pairs_ds(pairs_ds: rd.Dataset) -> rd.Dataset:
+def real_pairs_ds(pairs_ds: rd.Dataset, counter_col: str = "n_oversized") -> rd.Dataset:
     """Strip skew-counter rows (and the counter column) from a
-    ``lsh_candidate_pairs_ds`` output, leaving pure (a, b) edges."""
+    ``*_pairs_ds`` output (``lsh_candidate_pairs_ds`` /
+    ``ngram_jaccard_pairs_ds``), leaving the pure pair rows."""
     import pyarrow.compute as pc
 
     def keep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["n_oversized"], pa.scalar(0, t["n_oversized"].type)))
-        return t.select([c for c in ("a", "b") if c in t.column_names])
+        t = t.filter(pc.equal(t[counter_col], pa.scalar(0, t[counter_col].type)))
+        return t.drop_columns([counter_col])
 
     return pairs_ds.map_batches(keep, batch_format="pyarrow")
 
 
-# --- n-gram Jaccard near-dup (inverted shingle index) --------------------
+def _attach_int_attr(
+    pairs_ds: rd.Dataset,
+    attr_ds: rd.Dataset,
+    on: str,
+    carry: tuple[str, ...],
+    attr_col: str,
+    out_col: str,
+    coarse_buckets: int = 1024,
+) -> rd.Dataset:
+    """Reduce-side join for int64 payloads: append ``attr_ds``'s
+    ``attr_col`` (keyed by its ``key`` column) to pair rows matching
+    ``pairs_ds[on]``, as ``out_col``. Same tagged-union + coarse-bucket
+    groupby shape as ``verify_pairs_jaccard_ds`` (no ``Dataset.join``);
+    pairs whose key is absent from ``attr_ds`` are dropped (inner)."""
+    import pyarrow.compute as pc
+
+    assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0
+
+    def _coarse(keys: pa.Array) -> pa.Array:
+        return pc.cast(
+            pc.bit_wise_and(keys, pa.scalar(coarse_buckets - 1, pa.int64())), pa.int32()
+        )
+
+    def tag_attr(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = t["key"].combine_chunks().cast(pa.int64())
+        cols = {
+            "key": key,
+            "coarse": _coarse(key),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        for c in carry:
+            cols[c] = z
+        cols[out_col] = t[attr_col].combine_chunks().cast(pa.int64())
+        return pa.table(cols)
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = t[on].combine_chunks().cast(pa.int64())
+        cols = {
+            "key": key,
+            "coarse": _coarse(key),
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+        }
+        for c in carry:
+            cols[c] = t[c].combine_chunks().cast(pa.int64())
+        cols[out_col] = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(cols)
+
+    def join_group(df: pd.DataFrame) -> pa.Table:
+        lab = df[df["kind"] == 0][["key", out_col]]
+        prs = df[df["kind"] == 1][["key", *carry]]
+        m = prs.merge(lab, on="key", how="inner")
+        cols = {
+            c: pa.array(m[c].to_numpy(dtype=np.int64, na_value=0), pa.int64())
+            for c in (*carry, out_col)
+        }
+        return pa.table(cols)
+
+    return (
+        attr_ds.map_batches(tag_attr, batch_format="pyarrow")
+        .union(pairs_ds.map_batches(tag_pairs, batch_format="pyarrow"))
+        .groupby("coarse")
+        .map_groups(join_group, batch_format="pandas")
+    )
 
 
-def ngram_jaccard_pairs(
+def simhash_neardup_pairs_ds(
+    docs_ds: rd.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Dataset-native ``simhash_neardup_pairs`` (same exact pigeonhole
+    plan); distinct pairs via a pair-keyed groupby (a pair can match in
+    more than one band) — int64 triples only, never driver-side.
+    Output columns: (a, b, hamming)."""
+    return _simhash_banded_pairs(
+        docs_ds, max_hamming=max_hamming, text_col=text_col, id_col=id_col
+    ).groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def ngram_jaccard_pairs_ds(
     docs_ds: rd.Dataset,
     threshold: float = 0.3,
     shingle_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_posting: int | None = 1024,
-) -> pd.DataFrame:
-    """n-gram (word k-shingle) Jaccard near-dup pairs via a distributed
-    inverted shingle index.
+) -> rd.Dataset:
+    """Dataset-native ``ngram_jaccard_pairs`` — the corpus-scale tail:
+    the intersection counts stay a Dataset, per-doc shingle-set sizes
+    are delivered to pair rows by two reduce-side int joins
+    (``_attach_int_attr``), and the Jaccard filter is a vectorized map.
+    Output columns: (a, b, jaccard, n_capped) — capped-posting counter
+    rows carry a == b == 0 with the count in ``n_capped`` (real rows
+    carry 0; strip with ``real_pairs_ds(..., counter_col="n_capped")``).
+    Cap semantics as in ``ngram_jaccard_pairs`` (precision-preserving
+    lower bound)."""
+    import pyarrow.compute as pc
 
-    Plan: explode distinct shingle hashes per doc → ``groupby(shingle)``
-    emits candidate pairs per posting list → ``groupby(pair)`` counts
-    shared shingles (= |A∩B| exactly) → join per-doc set sizes for the
-    CANDIDATE ids only → jaccard = i/(|A|+|B|-i), filter ≥ threshold.
+    inter = _ngram_intersection_ds(
+        docs_ds, shingle_k=shingle_k, text_col=text_col, id_col=id_col,
+        max_posting=max_posting,
+    ).materialize()
 
-    ``max_posting`` frequency-caps hot shingles (a stopword shingle
-    shared by p docs would otherwise generate O(p²) pairs) — the
-    standard skew guard, ON by default (1024). Capped posting lists are
-    counted in-band and surfaced as ``attrs['n_capped_postings']`` —
-    never silently.
+    def counters(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_capped"], 0))
+        n = t.num_rows
+        return pa.table(
+            {
+                "a": pa.array(np.zeros(n, dtype=np.int64)),
+                "b": pa.array(np.zeros(n, dtype=np.int64)),
+                "jaccard": pa.array(np.zeros(n, dtype=np.float64)),
+                "n_capped": pc.cast(t["n_capped"], pa.int64()),
+            }
+        )
 
-    Cap semantics (precision-preserving lower bound): a capped shingle
-    contributes to NO pair's intersection count, so every reported
-    ``jaccard`` is ≤ the true value — a reported pair always truly
-    meets the threshold (no false positives), but a pair whose
-    qualifying overlap runs through capped shingles can be missed or
-    under-scored. With ``n_capped_postings == 0`` the result is exact.
-    Pass ``max_posting=None`` to force exactness regardless of skew
-    (unsafe at corpus scale: one hot shingle → quadratic pairs).
-    """
+    counter_rows = inter.map_batches(counters, batch_format="pyarrow")
+    real = inter.map_batches(
+        lambda t: t.filter(pc.equal(t["n_capped"], 0)).drop_columns(["n_capped"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if real.count() == 0:
+        # nothing survived the cap (or no candidates at all): counter
+        # rows only, under the full output schema
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                    "n_capped": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return empty.union(counter_rows)
+
+    # per-doc set sizes for candidate ids only (broadcast int filter)
+    import ray
+
+    cand_ref = ray.put(_candidate_id_array(real))
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[id_col], value_set=ray.get(cand_ref)))
+        ids, ns = [], []
+        for i, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ss = shingles(x or "", shingle_k)
+            if ss:
+                ids.append(i)
+                ns.append(len(ss))
+        return pa.table({"key": pa.array(ids, pa.int64()), "n": pa.array(ns, pa.int64())})
+
+    sizes = docs_ds.map_batches(size_rows, batch_format="pyarrow").materialize()
+    with_na = _attach_int_attr(real, sizes, on="a", carry=("a", "b", "i"), attr_col="n", out_col="n_a")
+    with_nb = _attach_int_attr(with_na, sizes, on="b", carry=("a", "b", "i", "n_a"), attr_col="n", out_col="n_b")
+
+    def score(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = np.round(i / (na + nb - i), 6)
+        keep = j >= threshold
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "a": t["a"].filter(pa.array(keep)),
+                "b": t["b"].filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep], pa.float64()),
+                "n_capped": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    return with_nb.map_batches(score, batch_format="pyarrow").union(counter_rows)
+
+
+# --- n-gram Jaccard near-dup (inverted shingle index) --------------------
+
+
+def _ngram_intersection_ds(
+    docs_ds: rd.Dataset,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting: int | None = 1024,
+) -> rd.Dataset:
+    """Shared head of the n-gram Jaccard generators: inverted shingle
+    index → per-posting pair emission (skew-capped) → pair-keyed
+    intersection counts. Output columns: (a, b, i, n_capped) — capped
+    counter rows carry a == b == 0."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids_out: list[int] = []
@@ -745,11 +922,48 @@ def ngram_jaccard_pairs(
         .groupby("coarse")
         .map_groups(pairs_per_coarse, batch_format="pandas")
     )
-    inter = (
-        pair_rows.groupby(["a", "b"])
-        .aggregate(Count(alias_name="i"), Sum("n_capped", alias_name="n_capped"))
-        .to_pandas()
+    return pair_rows.groupby(["a", "b"]).aggregate(
+        Count(alias_name="i"), Sum("n_capped", alias_name="n_capped")
     )
+
+
+def ngram_jaccard_pairs(
+    docs_ds: rd.Dataset,
+    threshold: float = 0.3,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting: int | None = 1024,
+) -> pd.DataFrame:
+    """n-gram (word k-shingle) Jaccard near-dup pairs via a distributed
+    inverted shingle index.
+
+    Plan: explode distinct shingle hashes per doc → ``groupby(shingle)``
+    emits candidate pairs per posting list → ``groupby(pair)`` counts
+    shared shingles (= |A∩B| exactly) → join per-doc set sizes for the
+    CANDIDATE ids only → jaccard = i/(|A|+|B|-i), filter ≥ threshold.
+    (Driver-side tail; ``ngram_jaccard_pairs_ds`` is the corpus-scale
+    path.)
+
+    ``max_posting`` frequency-caps hot shingles (a stopword shingle
+    shared by p docs would otherwise generate O(p²) pairs) — the
+    standard skew guard, ON by default (1024). Capped posting lists are
+    counted in-band and surfaced as ``attrs['n_capped_postings']`` —
+    never silently.
+
+    Cap semantics (precision-preserving lower bound): a capped shingle
+    contributes to NO pair's intersection count, so every reported
+    ``jaccard`` is ≤ the true value — a reported pair always truly
+    meets the threshold (no false positives), but a pair whose
+    qualifying overlap runs through capped shingles can be missed or
+    under-scored. With ``n_capped_postings == 0`` the result is exact.
+    Pass ``max_posting=None`` to force exactness regardless of skew
+    (unsafe at corpus scale: one hot shingle → quadratic pairs).
+    """
+    inter = _ngram_intersection_ds(
+        docs_ds, shingle_k=shingle_k, text_col=text_col, id_col=id_col,
+        max_posting=max_posting,
+    ).to_pandas()
     n_capped_postings = int(inter["n_capped"].sum()) if len(inter) else 0
     inter = inter[inter["n_capped"] == 0]
     if inter.empty:
@@ -861,19 +1075,16 @@ class SimHasher:
         )
 
 
-def simhash_neardup_pairs(
+def _simhash_banded_pairs(
     docs_ds: rd.Dataset,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> pd.DataFrame:
-    """EXACT SimHash near-dup pairs (hamming distance ≤ ``max_hamming``)
-    via pigeonhole band blocking: split the 64-bit fingerprint into
-    ``max_hamming + 1`` bands — any pair within distance ``max_hamming``
-    must agree exactly on at least one band, so a ``groupby(band_id,
-    band_value)`` generates ALL qualifying candidates; an exact popcount
-    verifies each. No quadratic scan, no missed pairs.
-    """
+) -> rd.Dataset:
+    """Shared pigeonhole plan for the SimHash pair generators: banded
+    explode → coarse-bucket groupby → exact popcount verify. Emits
+    (a, b, hamming) rows, possibly one per matching band — callers
+    dedup (driver ``drop_duplicates`` or pair-keyed groupby)."""
     bands = max_hamming + 1
     width = 64 // bands
 
@@ -930,12 +1141,29 @@ def simhash_neardup_pairs(
             {"a": "int64", "b": "int64", "hamming": "int64"}
         )
 
-    pairs = (
+    return (
         banded.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(pairs_per_coarse, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def simhash_neardup_pairs(
+    docs_ds: rd.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """EXACT SimHash near-dup pairs (hamming distance ≤ ``max_hamming``)
+    via pigeonhole band blocking: split the 64-bit fingerprint into
+    ``max_hamming + 1`` bands — any pair within distance ``max_hamming``
+    must agree exactly on at least one band, so a ``groupby(band_id,
+    band_value)`` generates ALL qualifying candidates; an exact popcount
+    verifies each. No quadratic scan, no missed pairs. Driver-side
+    result (``simhash_neardup_pairs_ds`` is the corpus-scale path)."""
+    pairs = _simhash_banded_pairs(
+        docs_ds, max_hamming=max_hamming, text_col=text_col, id_col=id_col
+    ).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
     return (
