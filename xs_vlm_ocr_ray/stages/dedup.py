@@ -1011,23 +1011,28 @@ def ngram_jaccard_pairs(
 class SimHasher:
     """text → 64-bit SimHash (token-hash bit votes).
 
-    Worker-state optimization (T1 pattern): token bit-vote vectors are
-    memoized per actor/worker — real corpora are Zipf-distributed, so
-    after warm-up nearly every token hash is a dict hit instead of a
-    blake2b call; per document, votes are accumulated over UNIQUE tokens
-    weighted by count (one numpy op per distinct token, not per
-    occurrence). ``simhash64`` stays the pure uncached reference
-    implementation (tests compare against it)."""
+    Batch-vectorized: per batch, token hashes are resolved through a
+    per-worker memo dict (real corpora are Zipf-distributed, so after
+    warm-up nearly every token is a dict hit instead of a blake2b
+    call), then the bit-vote accumulation runs as ONE numpy pass —
+    unpack all occurrence hashes to a (tokens × 64) ±1 vote matrix in
+    bounded slabs, segment-reduce per doc (``np.add.reduceat``; token
+    runs are doc-contiguous), threshold and repack. ``simhash64`` stays
+    the pure per-doc reference implementation (tests compare against
+    it, bit for bit)."""
 
-    # 256k entries ≈ 70-80 MB per actor INCLUDING numpy/dict/key
-    # overhead (~300 B/entry, not just the 64-byte payload) — sized so a
-    # 32-actor pool stays under ~2.5 GB fleet-wide
+    # 256k entries ≈ 30-40 MB per actor INCLUDING dict/key overhead
+    # (the payload is one uint64 per token) — a 32-worker pool stays
+    # near ~1 GB fleet-wide
     _CACHE_MAX = 1 << 18
+    # slab bound on the (tokens × 64) int8 vote transient: 256k tokens
+    # ≈ 16 MB per slab, independent of batch size
+    _SLAB_TOKENS = 1 << 18
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self._votes_cache: dict[str, np.ndarray] = {}
+        self._hash_cache: dict[str, int] = {}
 
     @staticmethod
     def simhash64(text: str) -> int:
@@ -1043,35 +1048,57 @@ class SimHasher:
         out = np.packbits((votes > 0).astype(np.uint8))
         return int.from_bytes(out.tobytes(), "big")
 
-    def _tok_votes(self, tok: str) -> np.ndarray:
-        v = self._votes_cache.get(tok)
-        if v is None:
-            bits = np.unpackbits(
-                np.frombuffer(
-                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                    dtype=np.uint8,
-                )
+    def _tok_hash(self, tok: str) -> int:
+        h = self._hash_cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
             )
-            v = bits.astype(np.int8) * 2 - 1
-            if len(self._votes_cache) < self._CACHE_MAX:
-                self._votes_cache[tok] = v
-        return v
-
-    def _simhash64_cached(self, text: str) -> int:
-        if not text:
-            return 0
-        from collections import Counter
-
-        votes = np.zeros(64, dtype=np.int64)
-        for tok, cnt in Counter(text.split()).items():
-            votes += self._tok_votes(tok).astype(np.int64) * cnt
-        out = np.packbits((votes > 0).astype(np.uint8))
-        return int.from_bytes(out.tobytes(), "big")
+            if len(self._hash_cache) < self._CACHE_MAX:
+                self._hash_cache[tok] = h
+        return h
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs = [self._simhash64_cached(x or "") for x in t[self.text_col].to_pylist()]
+        texts = t[self.text_col].to_pylist()
+        n = len(texts)
+        tok_lists = [x.split() if x else [] for x in texts]
+        counts = np.fromiter((len(l) for l in tok_lists), dtype=np.int64, count=n)
+        total = int(counts.sum())
+        # occurrence-level hash stream (doc-contiguous), memoized
+        hashes = np.empty(total, dtype=np.uint64)
+        th = self._tok_hash
+        i = 0
+        for toks in tok_lists:
+            for tok in toks:
+                hashes[i] = th(tok)
+                i += 1
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        votes_acc = np.zeros((n, 64), dtype=np.int64)
+        lo = 0
+        while lo < total:
+            # never split a doc across slabs (keeps reduceat segments
+            # whole); a single doc longer than the slab gets its own
+            doc_hi = int(np.searchsorted(ends, min(lo + self._SLAB_TOKENS, total), side="left"))
+            hi = int(ends[doc_hi])
+            # bits MSB-first over big-endian bytes == the reference's
+            # unpackbits(frombuffer(h.to_bytes(8, "big")))
+            be = hashes[lo:hi].astype(">u8").view(np.uint8).reshape(-1, 8)
+            bits = np.unpackbits(be, axis=1)
+            votes = bits.astype(np.int8) * 2 - 1
+            doc_lo = int(np.searchsorted(ends, lo, side="right"))
+            doc_idx = np.arange(doc_lo, doc_hi + 1)
+            # zero-token docs inside the range MUST be excluded:
+            # np.add.reduceat returns the element (not 0) for an empty
+            # segment; such docs keep their all-zero votes instead
+            doc_idx = doc_idx[counts[doc_idx] > 0]
+            seg_starts = starts[doc_idx] - lo
+            votes_acc[doc_idx] += np.add.reduceat(votes, seg_starts, axis=0)
+            lo = hi
+        packed = np.packbits(votes_acc > 0, axis=1)
+        fps = packed.view(">u8").reshape(n).astype(np.uint64)
         return pa.table(
-            {self.id_col: t[self.id_col], "simhash": pa.array(hs, pa.uint64())}
+            {self.id_col: t[self.id_col], "simhash": pa.array(fps, pa.uint64())}
         )
 
 
