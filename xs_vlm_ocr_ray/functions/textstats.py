@@ -108,7 +108,7 @@ def lang_id(text: str) -> str:
     words = sample.lower().split()
     if not words:
         return "und"
-    scores = {"de": 0, "en": 0, "es": 0, "fr": 0}
+    scores = dict.fromkeys(_LANG_MARKERS, 0)  # derived — never diverges
     get = _MARKER_LANGS.get
     for w in words:
         langs = get(w)

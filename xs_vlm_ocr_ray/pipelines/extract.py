@@ -292,10 +292,13 @@ def read_results(
         # writes no parquet at all — an empty dataset, not an error
         return rd.from_items([])
     cols = columns
+    helper_cols: list[str] = []  # appended for filtering, dropped after
     if cols is not None and "shard_id" not in cols:
         cols = list(cols) + ["shard_id"]
+        helper_cols.append("shard_id")
     if cols is not None and row_range is not None and "row_idx" not in cols:
         cols = list(cols) + ["row_idx"]
+        helper_cols.append("row_idx")
     ds = rd.read_parquet(files, columns=cols, include_paths=True)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -322,7 +325,8 @@ def read_results(
                     pc.less_equal(out["row_idx"], pa.scalar(row_range[1])),
                 )
             )
-        return out.drop_columns(["path"])
+        # a caller-specified projection gets exactly its columns back
+        return out.drop_columns(["path", *helper_cols])
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -343,7 +347,9 @@ def preload_recent(
     sorts on the bounded result store and takes only ``limit`` rows to
     the driver."""
     ds = read_results(
-        out_dir, columns=["url", "success", "content_hash", "extracted_text", "row_idx"]
+        out_dir,
+        columns=["url", "success", "content_hash", "extracted_text",
+                 "shard_id", "row_idx"],
     )
 
     def keep_success(t: pa.Table) -> pa.Table:

@@ -1295,9 +1295,13 @@ def q_text_embed_ann(sf_dir: str) -> pd.DataFrame:
     emb = add_embeddings(docs, text_col="text").select_columns(
         ["doc_id", "embedding"]
     )
-    t = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    idx = t["doc_id"].to_pylist().index(0)
-    q = TextEmbedder()._encode(t["text"][idx].as_py() or "")
+    # predicate-pushed single-row read for the query doc's text
+    t = pq.read_table(
+        _p(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "==", 0)],
+    )
+    q = TextEmbedder()._encode(t["text"][0].as_py() or "")
     return brute_force_topk(emb, q, k=10, id_col="doc_id")
 
 
@@ -1306,9 +1310,13 @@ def q_text_embed_ann(sf_dir: str) -> pd.DataFrame:
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    idx = t["vec_id"].to_pylist().index(0)
-    return np.asarray(t["embedding"].to_pylist()[idx], dtype=np.float64)
+    # predicate-pushed single-row read (never the whole column set)
+    t = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:

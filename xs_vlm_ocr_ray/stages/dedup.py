@@ -146,6 +146,22 @@ def elect_and_filter_winners(
     return joined.map_batches(strip, batch_format="pyarrow")
 
 
+def _coarse_of(keys, buckets: int):
+    """Coarse shuffle key shared by every groupby-join here: the low
+    bits of an integer key column, as int32. ``buckets`` must be a
+    power of two (the key is computed with a bit mask — callers
+    assert). ONE definition so a fix to the shuffle-key shape lands
+    everywhere at once."""
+    import pyarrow.compute as pc
+
+    assert buckets > 0 and (buckets & (buckets - 1)) == 0, buckets
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pc.cast(
+        pc.bit_wise_and(keys, pa.scalar(buckets - 1, keys.type)), pa.int32()
+    )
+
+
 def _join_partitions(cap: int = 64) -> int:
     """Hash-join partition count bounded by cluster CPUs: Ray's shuffle
     join schedules one aggregator ACTOR per partition, so a partition
@@ -308,12 +324,7 @@ def _lsh_pair_rows(
     )
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        coarse = pc.cast(
-            pc.bit_wise_and(t["band_hash"], pa.scalar(coarse_buckets - 1, pa.uint64())), pa.int32()
-        )
-        return t.append_column("coarse", coarse)
+        return t.append_column("coarse", _coarse_of(t["band_hash"], coarse_buckets))
 
     def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -503,6 +514,15 @@ def verify_pairs_jaccard_ds(
 
     assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0
     pairs_ds = pairs_ds.materialize()  # consumed twice: id scan + join
+    bad = {"n_oversized", "n_capped"} & set(pairs_ds.schema().names)
+    if bad:
+        # fail fast: a raw *_pairs_ds output still carries skew-counter
+        # rows (a == b == 0), which would join doc 0's shingles with
+        # themselves and emit a bogus verified (0, 0, 1.0) pair
+        raise ValueError(
+            f"pairs_ds carries counter column(s) {sorted(bad)}; strip "
+            "them first with real_pairs_ds(...)"
+        )
     if pairs_ds.count() == 0:
         return rd.from_arrow(
             pa.table(
@@ -530,10 +550,6 @@ def verify_pairs_jaccard_ds(
 
     sh_t = pa.list_(pa.uint64())
 
-    def _coarse(keys: pa.Array) -> pa.Array:
-        return pc.cast(
-            pc.bit_wise_and(keys, pa.scalar(coarse_buckets - 1, pa.int64())), pa.int32()
-        )
 
     # ---- pass A: deliver sh(a) to each pair --------------------------
     def tag_sh_a(t: pa.Table) -> pa.Table:
@@ -542,7 +558,7 @@ def verify_pairs_jaccard_ds(
         return pa.table(
             {
                 "key": t["key"],
-                "coarse": _coarse(t["key"].combine_chunks()),
+                "coarse": _coarse_of(t["key"], coarse_buckets),
                 "kind": pa.array(np.zeros(n, dtype=np.int8)),
                 "a": z,
                 "b": z,
@@ -556,7 +572,7 @@ def verify_pairs_jaccard_ds(
         return pa.table(
             {
                 "key": key,
-                "coarse": _coarse(key),
+                "coarse": _coarse_of(key, coarse_buckets),
                 "kind": pa.array(np.ones(n, dtype=np.int8)),
                 "a": key,
                 "b": t["b"].combine_chunks().cast(pa.int64()),
@@ -590,7 +606,7 @@ def verify_pairs_jaccard_ds(
         return pa.table(
             {
                 "key": t["key"],
-                "coarse": _coarse(t["key"].combine_chunks()),
+                "coarse": _coarse_of(t["key"], coarse_buckets),
                 "kind": pa.array(np.zeros(n, dtype=np.int8)),
                 "a": z,
                 "b": z,
@@ -605,7 +621,7 @@ def verify_pairs_jaccard_ds(
         return pa.table(
             {
                 "key": key,
-                "coarse": _coarse(key),
+                "coarse": _coarse_of(key, coarse_buckets),
                 "kind": pa.array(np.ones(n, dtype=np.int8)),
                 "a": t["a"].combine_chunks().cast(pa.int64()),
                 "b": key,
@@ -685,17 +701,13 @@ def _attach_int_attr(
 
     assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0
 
-    def _coarse(keys: pa.Array) -> pa.Array:
-        return pc.cast(
-            pc.bit_wise_and(keys, pa.scalar(coarse_buckets - 1, pa.int64())), pa.int32()
-        )
 
     def tag_attr(t: pa.Table) -> pa.Table:
         n = t.num_rows
         key = t["key"].combine_chunks().cast(pa.int64())
         cols = {
             "key": key,
-            "coarse": _coarse(key),
+            "coarse": _coarse_of(key, coarse_buckets),
             "kind": pa.array(np.zeros(n, dtype=np.int8)),
         }
         z = pa.array(np.zeros(n, dtype=np.int64))
@@ -709,7 +721,7 @@ def _attach_int_attr(
         key = t[on].combine_chunks().cast(pa.int64())
         cols = {
             "key": key,
-            "coarse": _coarse(key),
+            "coarse": _coarse_of(key, coarse_buckets),
             "kind": pa.array(np.ones(n, dtype=np.int8)),
         }
         for c in carry:
@@ -879,11 +891,7 @@ def _ngram_intersection_ds(
     postings = docs_ds.map_batches(explode, batch_format="pyarrow")
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.append_column(
-            "coarse", pc.cast(pc.bit_wise_and(t["sh"], pa.scalar(4095, pa.uint64())), pa.int32())
-        )
+        return t.append_column("coarse", _coarse_of(t["sh"], 4096))
 
     def pairs_per_coarse(df: pd.DataFrame) -> pd.DataFrame:
         # coarse shuffle key (sh % 4096) + vectorized inner groupby:
@@ -1143,11 +1151,7 @@ def _simhash_banded_pairs(
     banded = sig.map_batches(explode, batch_format="pyarrow")
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.append_column(
-            "coarse", pc.cast(pc.bit_wise_and(t["band_val"], pa.scalar(1023, pa.uint64())), pa.int32())
-        )
+        return t.append_column("coarse", _coarse_of(t["band_val"], 1024))
 
     def pairs_per_coarse(df: pd.DataFrame) -> pd.DataFrame:
         # coarse shuffle key + vectorized inner groupby (see
@@ -1289,15 +1293,7 @@ def _embedding_neardup_bucketed(
     with_buckets = lsh_bucket_ids(emb_ds, num_planes=num_planes, vec_col=vec_col)
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.append_column(
-            "coarse",
-            pc.cast(
-                pc.bit_wise_and(t["bucket"], pa.scalar(coarse_buckets - 1, pa.int32())),
-                pa.int32(),
-            ),
-        )
+        return t.append_column("coarse", _coarse_of(t["bucket"], coarse_buckets))
 
     def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
         out_frames = []
@@ -1583,13 +1579,7 @@ def neardup_clusters_distributed(
         )
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "coarse",
-            pc.cast(
-                pc.bit_wise_and(t["key"], pa.scalar(coarse_buckets - 1, pa.int64())),
-                pa.int32(),
-            ),
-        )
+        return t.append_column("coarse", _coarse_of(t["key"], coarse_buckets))
 
     def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
         lab = df[df["kind"] == 0][["key", "val"]].rename(columns={"val": "label"})
