@@ -161,3 +161,38 @@ def test_training_max_per_domain(ray_session, tiny_pages_dir):
         uncapped, on=["url", "shard_id", "row_idx"], how="left", indicator=True
     )
     assert (merged["_merge"] == "both").all()
+
+
+def test_stage3_near_dedup_distributed_route(ray_session, tmp_path):
+    """Stage 3 through the distributed CC + anti-join route (forced via
+    zero thresholds) produces the identical final store as the
+    driver-union-find route."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.pipelines.training import _stage3_near_dedup
+
+    base = " ".join(f"word{i}" for i in range(200))
+    rows = {
+        "url": ["u0", "u1", "u2", "u3"],
+        "extracted_text": [base, base + " tail extra tokens", "distinct " * 100, base + " other tail"],
+        "shard_id": pa.array([0, 0, 0, 0], pa.int32()),
+        "row_idx": pa.array([0, 1, 2, 3], pa.int64()),
+    }
+    curated = str(tmp_path / "curated")
+    os.makedirs(curated)
+    pq.write_table(pa.table(rows), curated + "/part-0.parquet")
+
+    f_driver = str(tmp_path / "final_driver")
+    f_dist = str(tmp_path / "final_dist")
+    n1 = _stage3_near_dedup(curated, f_driver)
+    n2 = _stage3_near_dedup(curated, f_dist, driver_pair_limit=0, broadcast_limit=0)
+    assert n1 == n2
+    a = rd.read_parquet(f_driver).to_pandas().sort_values("url").reset_index(drop=True)
+    b = rd.read_parquet(f_dist).to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b[a.columns])

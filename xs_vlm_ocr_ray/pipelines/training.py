@@ -247,7 +247,12 @@ def run_training_pipeline(
     return out
 
 
-def _stage3_near_dedup(curated_dir: str, final_dir: str) -> int:
+def _stage3_near_dedup(
+    curated_dir: str,
+    final_dir: str,
+    driver_pair_limit: int = 1_000_000,
+    broadcast_limit: int = 5_000_000,
+) -> int:
     """Optional stage 3: MinHash+LSH near-dup removal over the (exact-
     deduped) curated store — one representative per near-dup CLUSTER
     (min lineage order). Dataset-native end to end: pair generation
@@ -287,7 +292,10 @@ def _stage3_near_dedup(curated_dir: str, final_dir: str) -> int:
     verified = verify_pairs_jaccard_ds(
         docs, pairs, text_col="extracted_text", id_col="_order", threshold=0.9
     )
-    final = drop_neardups_ds(curated, verified, id_col="_order")
+    final = drop_neardups_ds(
+        curated, verified, id_col="_order",
+        driver_pair_limit=driver_pair_limit, broadcast_limit=broadcast_limit,
+    )
 
     def strip(t: pa.Table) -> pa.Table:
         return t.drop_columns([c for c in ("_order",) if c in t.column_names])
