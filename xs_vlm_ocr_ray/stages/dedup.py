@@ -514,7 +514,8 @@ def verify_pairs_jaccard_ds(
 
     assert coarse_buckets > 0 and (coarse_buckets & (coarse_buckets - 1)) == 0
     pairs_ds = pairs_ds.materialize()  # consumed twice: id scan + join
-    bad = {"n_oversized", "n_capped"} & set(pairs_ds.schema().names)
+    schema = pairs_ds.schema()  # None for a schema-less empty dataset
+    bad = {"n_oversized", "n_capped"} & set(schema.names if schema else [])
     if bad:
         # fail fast: a raw *_pairs_ds output still carries skew-counter
         # rows (a == b == 0), which would join doc 0's shingles with
