@@ -145,3 +145,38 @@ def test_config_watcher_missing_file(tmp_path):
     assert w.config is None
     _write_cfg(p, 500)
     assert w.poll() is True and w.config.settings.row_timeout_ms == 500
+
+
+def test_preload_recent_prunes_to_tail_shards(ray_session, tiny_pages_dir, tmp_path):
+    """O4 preload reads only the minimal newest-shard suffix covering
+    ``limit`` successes (manifest-pruned), and returns the same cache
+    as an unpruned recency scan."""
+    from xs_vlm_ocr_ray.pipelines.extract import (
+        preload_recent,
+        read_results,
+        run_extract,
+    )
+    from xs_vlm_ocr_ray.state.manifest import load_manifest
+
+    out = str(tmp_path / "results")
+    run_extract(tiny_pages_dir, out, resume=False)
+    man = load_manifest(out)
+    assert len(man) >= 4
+    # limit covered by the last shard alone -> the tail suffix is small
+    last = max(man)
+    limit = max(1, man[last]["n_success"] // 2)
+    cache = preload_recent(out, limit=limit)
+    # reference scan: unpruned read, same recency rule
+    full = (
+        read_results(out, columns=["url", "success", "content_hash",
+                                   "extracted_text", "shard_id", "row_idx"])
+        .to_pandas()
+    )
+    full = full[full["success"]].sort_values(
+        ["shard_id", "row_idx"], ascending=False
+    ).head(limit)
+    want: dict = {}
+    for _, r in full.iterrows():
+        if r["content_hash"] and r["content_hash"] not in want:
+            want[r["content_hash"]] = r["url"]
+    assert {h: i["url"] for h, i in cache.items()} == want

@@ -343,13 +343,24 @@ def preload_recent(
 
     Recency here is the lineage order (shard_id, row_idx) — the engine's
     monotone processing order (the timestamp analog). The distributed
-    plan prunes columns (payloads never loaded, like the reference),
-    sorts on the bounded result store and takes only ``limit`` rows to
-    the driver."""
+    plan prunes columns (payloads never loaded, like the reference) AND
+    files: the manifest's per-shard success counts identify the minimal
+    suffix of newest shards that covers ``limit`` successes, so a
+    billion-row store opens only its tail; the sort runs on that
+    bounded slice."""
+    man = load_manifest(out_dir)
+    tail_ids: list[int] = []
+    acc = 0
+    for sid in sorted(man, reverse=True):
+        tail_ids.append(sid)
+        acc += man[sid]["n_success"]
+        if acc >= limit:
+            break
     ds = read_results(
         out_dir,
         columns=["url", "success", "content_hash", "extracted_text",
                  "shard_id", "row_idx"],
+        shard_ids=tail_ids,
     )
 
     def keep_success(t: pa.Table) -> pa.Table:
