@@ -181,3 +181,47 @@ def test_read_results_manifest_pruning(ray_session, tiny_pages_dir, tmp_path_fac
     assert sorted(got_c["url"]) == sorted(want_c["url"])
     # empty prune result is an empty dataset, not an error
     assert read_results(out, shard_ids=[99999]).count() == 0
+
+
+def test_compact_results(ray_session, tiny_pages_dir, tmp_path_factory):
+    """Compaction rewrites a multi-wave store into one file per shard,
+    preserves every row and the manifest/pruning/resume contracts, and
+    drops the old wave directories."""
+    import os
+
+    from xs_vlm_ocr_ray.pipelines.extract import (
+        compact_results,
+        read_results,
+        run_extract,
+    )
+    from xs_vlm_ocr_ray.state.manifest import load_manifest
+
+    out = str(tmp_path_factory.mktemp("compact") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=2)  # multi-wave store
+    before = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+    man_before = load_manifest(out)
+
+    summary = compact_results(out)
+    assert summary["compacted_shards"] == len(man_before)
+    assert summary["files_after"] <= summary["files_before"]
+    # one file per (non-empty) shard, old wave dirs gone
+    results_dir = os.path.join(out, "results")
+    dirs = sorted(os.listdir(results_dir))
+    assert dirs == ["compact-000001"]
+
+    after = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(after, before[after.columns])
+    # manifest stats survive the rewrite (counts + checksum per shard)
+    man_after = load_manifest(out)
+    for sid, rec in man_before.items():
+        for k in ("n_rows", "n_success", "n_error", "hash_xor", "row_min", "row_max"):
+            assert man_after[sid][k] == rec[k], (sid, k)
+    # resume still sees everything complete
+    again = run_extract(tiny_pages_dir, out, wave_shards=2)
+    assert again["waves"] == 0
+    # shard pruning still works against compacted files
+    some = sorted(man_after)[:2]
+    got = read_results(out, shard_ids=some).to_pandas()
+    assert set(got["shard_id"]) == set(some)

@@ -380,6 +380,96 @@ def preload_recent(
     return out
 
 
+def compact_results(out_dir: str) -> dict:
+    """Compact the results store: rewrite every manifested shard's row
+    slices into ONE parquet file inside a fresh ``compact-NNNNNN`` wave
+    directory, atomically repoint the manifest, then drop the wave
+    directories nothing references anymore.
+
+    Why: a long-running store accumulates one file per (shard, task
+    batch) across many waves — at 100 TB that is millions of small
+    files whose open/footer cost dominates ranged reads. One file per
+    shard keeps the ``part-s<sid>-r<row>`` naming contract, so
+    ``read_results``' manifest/file pruning keeps working unchanged.
+
+    Plan: one authorized read of the store → ``groupby(shard_id)`` (a
+    full rewrite is inherently an all-to-all; this is the compaction's
+    one shuffle) → one file + stats row per shard → rename the wave
+    into place → rewrite ALL shard records (zero-row shards repoint
+    too, so no record references a dead directory) → delete
+    unreferenced wave dirs. A crash at any point leaves a readable
+    store: temp dirs are ignored, record rewrites are per-shard atomic,
+    and cleanup runs only after every record points at the new wave.
+    """
+    import re
+    import shutil
+
+    import pandas as pd
+
+    out_dir = os.path.abspath(out_dir)
+    man = load_manifest(out_dir)
+    results_dir = os.path.join(out_dir, "results")
+    if not man:
+        return {"compacted_shards": 0, "files_before": 0, "files_after": 0}
+    old_dirs = {
+        os.path.join(results_dir, os.path.basename(rec["wave_dir"]))
+        for rec in man.values()
+    }
+    files_before = sum(
+        sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        for d in old_dirs
+        if os.path.isdir(d)
+    )
+    seq = 1 + max(
+        (
+            int(m.group(1))
+            for d in os.listdir(results_dir)
+            if (m := re.match(r"(?:\.tmp-)?compact-(\d+)$", d))
+        ),
+        default=0,
+    )
+    wave_name = f"compact-{seq:06d}"
+    tmp_dir = os.path.join(results_dir, f".tmp-{wave_name}")
+    wave_dir = os.path.join(results_dir, wave_name)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+
+    writer = _ShardWriter(tmp_dir)
+
+    def one_file_per_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # deterministic row order inside the compacted file
+        return writer(t.take(pc.sort_indices(t["row_idx"])))
+
+    partials = (
+        read_results(out_dir)
+        .groupby("shard_id")
+        .map_groups(one_file_per_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    os.replace(tmp_dir, wave_dir)
+    shard_paths = {sid: rec["path"] for sid, rec in man.items()}
+    _manifest_from_partials(
+        out_dir, wave_dir, shard_paths, 0.0, partials, sorted(man)
+    )
+    # cleanup: only after every record points at the new wave
+    new_man = load_manifest(out_dir)
+    live = {
+        os.path.join(results_dir, os.path.basename(rec["wave_dir"]))
+        for rec in new_man.values()
+    }
+    for d in old_dirs - live:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "compacted_shards": len(man),
+        "files_before": files_before,
+        "files_after": sum(
+            1 for f in os.listdir(wave_dir) if f.endswith(".parquet")
+        ),
+    }
+
+
 class _ShardWriter:
     """Fused write+stats stage: persist the batch as one parquet file,
     emit one stats row per shard in the batch (a few bytes — the row
