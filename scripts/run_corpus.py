@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--prompt", default="", help="prompt override (M4 defaulting applies)")
     ap.add_argument("--wave-shards", type=int, default=None, help="shards per checkpoint wave")
     ap.add_argument("--no-resume", action="store_true", help="ignore existing manifest")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run, compact the results store to one "
+                         "file per shard (atomic; manifest contracts kept)")
     ap.add_argument("--near-dedup", action="store_true",
                     help="training pipeline: add the MinHash near-dup stage 3")
     ap.add_argument("--max-per-domain", type=int, default=None,
@@ -110,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             wave_shards=args.wave_shards,
         )
+
+    if args.compact:
+        from xs_vlm_ocr_ray.pipelines.extract import compact_results
+
+        target = args.out if args.pipeline == "extract" else f"{args.out}/stage1"
+        summary["compaction"] = compact_results(target)
 
     print(json.dumps(summary))
     ray.shutdown()
