@@ -40,6 +40,12 @@ BENCH_QUERIES = [
     "q_doc_exact_dedup",
     "q_doc_minhash_neardup",
     "q_ann_topk",
+    # round-3 addition (oracle-checked kernel): per-domain curation
+    # stats. q_neardup_clusters stays out of the bench set — its exact
+    # inverted-index pair generation costs ~10 s at sf0.1, which would
+    # dominate the query-suite wall without being the flagship metric
+    # (it remains driver-correctness-checked every round).
+    "q_domain_stats",
 ]
 
 
