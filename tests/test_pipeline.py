@@ -225,3 +225,40 @@ def test_compact_results(ray_session, tiny_pages_dir, tmp_path_factory):
     some = sorted(man_after)[:2]
     got = read_results(out, shard_ids=some).to_pandas()
     assert set(got["shard_id"]) == set(some)
+
+
+def test_retain_recent(ray_session, tiny_pages_dir, tmp_path_factory):
+    """O3 retention as a store rewrite: only the newest N rows by
+    lineage order survive; dropped shards keep zero-row manifest
+    records so resume never reprocesses them."""
+    from xs_vlm_ocr_ray.pipelines.extract import (
+        read_results,
+        retain_recent,
+        run_extract,
+    )
+    from xs_vlm_ocr_ray.state.manifest import load_manifest
+
+    out = str(tmp_path_factory.mktemp("retain") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=2)
+    before = read_results(out).to_pandas()
+    total = len(before)
+    limit = total // 2 + 7  # forces a mid-shard boundary cut
+
+    summary = retain_recent(out, limit)
+    assert summary["retained_rows"] == limit
+    assert summary["dropped_rows"] == total - limit
+
+    after = read_results(out).to_pandas()
+    want = before.sort_values(
+        ["shard_id", "row_idx"], ascending=False
+    ).head(limit)
+    assert sorted(after["url"]) == sorted(want["url"])
+    # manifest coverage unchanged (no shard goes back to pending)
+    man = load_manifest(out)
+    assert set(man) == set(load_manifest(out))
+    assert sum(r["n_rows"] for r in man.values()) == limit
+    again = run_extract(tiny_pages_dir, out, wave_shards=2)
+    assert again["waves"] == 0
+    # retention beyond the store size is a no-op rewrite
+    summary2 = retain_recent(out, limit * 10)
+    assert summary2["retained_rows"] == limit and summary2["dropped_rows"] == 0

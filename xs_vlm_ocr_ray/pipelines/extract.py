@@ -401,16 +401,88 @@ def compact_results(out_dir: str) -> dict:
     store: temp dirs are ignored, record rewrites are per-shard atomic,
     and cleanup runs only after every record points at the new wave.
     """
+    out_dir = os.path.abspath(out_dir)
+    man = load_manifest(out_dir)
+    if not man:
+        return {"compacted_shards": 0, "files_before": 0, "files_after": 0}
+    return _rewrite_store(out_dir, man, read_results(out_dir))
+
+
+def retain_recent(out_dir: str, limit: int) -> dict:
+    """O3 top-N retention as a STORE operation (the reference's
+    ``DELETE WHERE id NOT IN (... ORDER BY ts DESC LIMIT N)``,
+    src/managers/HistoryManager.cpp:330-363, made partition-granular):
+    keep only the newest ``limit`` result rows by lineage order
+    (shard_id, row_idx) and rewrite the store — same atomic
+    wave-rewrite machinery as ``compact_results``.
+
+    The manifest picks the cut without reading data: iterate shards
+    newest-first accumulating ``n_rows``; whole shards inside the
+    budget are kept outright, the one boundary shard is row-filtered,
+    everything older is dropped. Dropped shards KEEP a (zero-row)
+    manifest record — resume semantics are 'processed, retained zero
+    rows', never 'pending', exactly like the reference not re-OCRing
+    purged history."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if limit < 1:
+        raise ValueError(f"retention limit must be >= 1 (got {limit})")
+    out_dir = os.path.abspath(out_dir)
+    man = load_manifest(out_dir)
+    if not man:
+        return {"retained_rows": 0, "dropped_rows": 0}
+    total = sum(rec["n_rows"] for rec in man.values())
+    keep_all: list[int] = []
+    boundary: tuple[int, int] | None = None  # (sid, rows_from_tail)
+    acc = 0
+    for sid in sorted(man, reverse=True):
+        n = man[sid]["n_rows"]
+        if acc >= limit:
+            break
+        if acc + n <= limit:
+            keep_all.append(sid)
+        else:
+            boundary = (sid, limit - acc)
+        acc += n
+    ds = read_results(out_dir, shard_ids=keep_all + ([boundary[0]] if boundary else []))
+    if boundary is not None:
+        b_sid, b_keep = boundary
+        # exact per-row cut inside the boundary shard: its newest
+        # b_keep rows by row_idx (single-shard, bounded driver state)
+        b_rows = read_results(out_dir, shard_ids=[b_sid], columns=["row_idx"])
+        idx = np.sort(b_rows.to_pandas()["row_idx"].to_numpy())
+        cutoff = int(idx[-b_keep])
+
+        def trim(t: pa.Table) -> pa.Table:
+            drop = pc.and_(
+                pc.equal(t["shard_id"], pa.scalar(b_sid, t["shard_id"].type)),
+                pc.less(t["row_idx"], pa.scalar(cutoff, pa.int64())),
+            )
+            return t.filter(pc.invert(drop))
+
+        ds = ds.map_batches(trim, batch_format="pyarrow")
+    summary = _rewrite_store(out_dir, man, ds)
+    retained = min(limit, total)
+    return {
+        "retained_rows": retained,
+        "dropped_rows": total - retained,
+        **{k: v for k, v in summary.items() if k != "compacted_shards"},
+    }
+
+
+def _rewrite_store(out_dir: str, man: dict, ds: rd.Dataset) -> dict:
+    """Shared atomic store-rewrite tail (compaction / retention): write
+    ``ds`` as one file per shard into a fresh ``compact-NNNNNN`` wave,
+    repoint EVERY manifest record (shards absent from ``ds`` get
+    zero-row records — no record may reference a dead directory), then
+    delete unreferenced wave dirs. Crash-safe at every step: temp dirs
+    are ignored by readers, record rewrites are per-shard atomic, and
+    cleanup runs only after all records point at the new wave."""
     import re
     import shutil
 
-    import pandas as pd
-
-    out_dir = os.path.abspath(out_dir)
-    man = load_manifest(out_dir)
     results_dir = os.path.join(out_dir, "results")
-    if not man:
-        return {"compacted_shards": 0, "files_before": 0, "files_after": 0}
     old_dirs = {
         os.path.join(results_dir, os.path.basename(rec["wave_dir"]))
         for rec in man.values()
@@ -439,12 +511,11 @@ def compact_results(out_dir: str) -> dict:
     def one_file_per_shard(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # deterministic row order inside the compacted file
+        # deterministic row order inside the rewritten file
         return writer(t.take(pc.sort_indices(t["row_idx"])))
 
     partials = (
-        read_results(out_dir)
-        .groupby("shard_id")
+        ds.groupby("shard_id")
         .map_groups(one_file_per_shard, batch_format="pyarrow")
         .to_pandas()
     )
