@@ -241,6 +241,7 @@ def test_retain_recent(ray_session, tiny_pages_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("retain") / "out")
     run_extract(tiny_pages_dir, out, wave_shards=2)
     before = read_results(out).to_pandas()
+    man_before = load_manifest(out)
     total = len(before)
     limit = total // 2 + 7  # forces a mid-shard boundary cut
 
@@ -253,12 +254,57 @@ def test_retain_recent(ray_session, tiny_pages_dir, tmp_path_factory):
         ["shard_id", "row_idx"], ascending=False
     ).head(limit)
     assert sorted(after["url"]) == sorted(want["url"])
-    # manifest coverage unchanged (no shard goes back to pending)
+    # manifest coverage unchanged vs PRE-retention (dropped shards keep
+    # zero-row records — no shard goes back to pending)
     man = load_manifest(out)
-    assert set(man) == set(load_manifest(out))
+    assert set(man) == set(man_before)
     assert sum(r["n_rows"] for r in man.values()) == limit
     again = run_extract(tiny_pages_dir, out, wave_shards=2)
     assert again["waves"] == 0
     # retention beyond the store size is a no-op rewrite
     summary2 = retain_recent(out, limit * 10)
     assert summary2["retained_rows"] == limit and summary2["dropped_rows"] == 0
+
+
+def test_rewrite_store_gc_reclaims_crash_orphans(
+    ray_session, tiny_pages_dir, tmp_path_factory
+):
+    """A compaction wave renamed into place but never manifested (crash
+    between rename and record rewrite) is garbage-collected by the next
+    rewrite instead of leaking a store-sized copy forever."""
+    import os
+    import shutil
+
+    from xs_vlm_ocr_ray.pipelines.extract import (
+        compact_results,
+        read_results,
+        run_extract,
+    )
+
+    out = str(tmp_path_factory.mktemp("gc") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=2)
+    before = read_results(out).to_pandas()
+    results_dir = os.path.join(out, "results")
+    # simulate the crash leftovers: an un-manifested renamed compact
+    # wave (full copy of one real wave) and a stale tmp dir
+    some_wave = sorted(
+        d for d in os.listdir(results_dir) if not d.startswith(".")
+    )[0]
+    shutil.copytree(
+        os.path.join(results_dir, some_wave),
+        os.path.join(results_dir, "compact-000001"),
+    )
+    os.makedirs(os.path.join(results_dir, ".tmp-compact-000001"))
+
+    summary = compact_results(out)
+    assert summary["compacted_shards"] >= 4
+    dirs = sorted(os.listdir(results_dir))
+    # orphans reclaimed; only the new manifested wave remains (its seq
+    # continues past the orphan's)
+    assert dirs == ["compact-000002"]
+    after = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        after, before.sort_values("url").reset_index(drop=True)[after.columns]
+    )

@@ -382,24 +382,27 @@ def preload_recent(
 
 def compact_results(out_dir: str) -> dict:
     """Compact the results store: rewrite every manifested shard's row
-    slices into ONE parquet file inside a fresh ``compact-NNNNNN`` wave
-    directory, atomically repoint the manifest, then drop the wave
-    directories nothing references anymore.
+    slices into a fresh ``compact-NNNNNN`` wave directory with one
+    parquet file per shard per sorted block (one file per shard at
+    typical shard sizes; a multi-GB shard splits across a few large
+    files rather than materializing whole in one worker), atomically
+    repoint the manifest, then drop the wave directories nothing
+    references anymore.
 
     Why: a long-running store accumulates one file per (shard, task
     batch) across many waves — at 100 TB that is millions of small
-    files whose open/footer cost dominates ranged reads. One file per
-    shard keeps the ``part-s<sid>-r<row>`` naming contract, so
+    files whose open/footer cost dominates ranged reads. Single-shard
+    files keep the ``part-s<sid>-r<row>`` naming contract, so
     ``read_results``' manifest/file pruning keeps working unchanged.
 
-    Plan: one authorized read of the store → ``groupby(shard_id)`` (a
-    full rewrite is inherently an all-to-all; this is the compaction's
-    one shuffle) → one file + stats row per shard → rename the wave
-    into place → rewrite ALL shard records (zero-row shards repoint
-    too, so no record references a dead directory) → delete
-    unreferenced wave dirs. A crash at any point leaves a readable
-    store: temp dirs are ignored, record rewrites are per-shard atomic,
-    and cleanup runs only after every record points at the new wave.
+    Plan: one authorized read of the store → lineage sort (a full
+    rewrite is inherently an all-to-all; this is the compaction's one
+    shuffle, and Ray's sort keeps block memory bounded) → per-block
+    shard-run files + stats rows → rename the wave into place →
+    rewrite ALL shard records (zero-row shards repoint too, so no
+    record references a dead directory) → delete unreferenced wave
+    dirs. Crash-safety and the single-writer contract are documented
+    on ``_rewrite_store``.
     """
     out_dir = os.path.abspath(out_dir)
     man = load_manifest(out_dir)
@@ -471,14 +474,26 @@ def retain_recent(out_dir: str, limit: int) -> dict:
     }
 
 
-def _rewrite_store(out_dir: str, man: dict, ds: rd.Dataset) -> dict:
+def _rewrite_store(
+    out_dir: str, man: dict, ds: rd.Dataset, rows_per_file: int = 100_000
+) -> dict:
     """Shared atomic store-rewrite tail (compaction / retention): write
-    ``ds`` as one file per shard into a fresh ``compact-NNNNNN`` wave,
-    repoint EVERY manifest record (shards absent from ``ds`` get
-    zero-row records — no record may reference a dead directory), then
-    delete unreferenced wave dirs. Crash-safe at every step: temp dirs
-    are ignored by readers, record rewrites are per-shard atomic, and
-    cleanup runs only after all records point at the new wave."""
+    ``ds`` sorted by lineage into a fresh ``compact-NNNNNN`` wave (one
+    file per shard per sorted block — bounded task memory; a multi-GB
+    shard never materializes whole in one worker), repoint EVERY
+    manifest record (shards absent from ``ds`` get zero-row records —
+    no record may reference a dead directory), then delete
+    unreferenced wave dirs.
+
+    Crash-safe under the SINGLE-WRITER contract (store mutations —
+    run_extract, compaction, retention — are exclusive, like writes to
+    the reference's SQLite store; readers holding a pre-rewrite
+    manifest must re-load after a rewrite, since old wave dirs are
+    reclaimed): temp dirs are ignored by readers, record rewrites are
+    per-shard atomic, cleanup runs only after all records point at the
+    new wave, and any orphan left by a previous crash — a ``.tmp-*``
+    dir, or a renamed wave no manifest record references (crash between
+    rename and record rewrite) — is garbage-collected on entry."""
     import re
     import shutil
 
@@ -487,11 +502,8 @@ def _rewrite_store(out_dir: str, man: dict, ds: rd.Dataset) -> dict:
         os.path.join(results_dir, os.path.basename(rec["wave_dir"]))
         for rec in man.values()
     }
-    files_before = sum(
-        sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-        for d in old_dirs
-        if os.path.isdir(d)
-    )
+    # the sequence number is taken BEFORE garbage collection so a name
+    # is never reused, even one only a crashed rewrite ever created
     seq = 1 + max(
         (
             int(m.group(1))
@@ -500,23 +512,36 @@ def _rewrite_store(out_dir: str, man: dict, ds: rd.Dataset) -> dict:
         ),
         default=0,
     )
+    # GC: reclaim crash leftovers BEFORE measuring/writing — any dir
+    # the manifest doesn't reference holds no committed rows (a crashed
+    # rewrite's rename target, or an interrupted run_extract wave whose
+    # shards are still pending and will be redone)
+    for d in os.listdir(results_dir):
+        full = os.path.join(results_dir, d)
+        if os.path.isdir(full) and full not in old_dirs:
+            shutil.rmtree(full, ignore_errors=True)
+    files_before = sum(
+        sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        for d in old_dirs
+        if os.path.isdir(d)
+    )
     wave_name = f"compact-{seq:06d}"
     tmp_dir = os.path.join(results_dir, f".tmp-{wave_name}")
     wave_dir = os.path.join(results_dir, wave_name)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
 
-    writer = _ShardWriter(tmp_dir)
-
-    def one_file_per_shard(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # deterministic row order inside the rewritten file
-        return writer(t.take(pc.sort_indices(t["row_idx"])))
-
+    # lineage sort co-locates each shard's rows in contiguous sorted
+    # blocks; batch_size coalesces the sort's (possibly many small)
+    # output blocks into bounded batches WITHOUT reordering, and the
+    # writer splits each batch at shard boundaries — every file holds
+    # exactly one shard (the filename-pruning contract) and no task
+    # ever holds more than ``rows_per_file`` rows
     partials = (
-        ds.groupby("shard_id")
-        .map_groups(one_file_per_shard, batch_format="pyarrow")
+        ds.sort(["shard_id", "row_idx"])
+        .map_batches(
+            _ShardWriter(tmp_dir), batch_format="pyarrow", batch_size=rows_per_file
+        )
         .to_pandas()
     )
     os.replace(tmp_dir, wave_dir)
@@ -552,17 +577,29 @@ class _ShardWriter:
     def __call__(self, t: pa.Table) -> pa.Table:
         import os as _os
 
+        import numpy as np
         import pandas as pd
         import pyarrow.parquet as pq
 
         if t.num_rows:
-            sid0 = t["shard_id"][0].as_py()
-            r0 = t["row_idx"][0].as_py()
-            # deterministic unique name per (shard, first-row): task
-            # retries overwrite their own partial file, never a peer's
-            name = f"part-s{sid0:06d}-r{r0:09d}.parquet"
             _os.makedirs(self.out_dir, exist_ok=True)
-            pq.write_table(t, _os.path.join(self.out_dir, name))
+            # one file per shard RUN in the batch: run_extract batches
+            # are single-shard (one work item per task), but the store
+            # rewrite path feeds lineage-sorted multi-shard blocks, and
+            # a file must never mix shards (the reader's filename
+            # pruning parses one shard id per file)
+            sids = t["shard_id"].to_numpy(zero_copy_only=False)
+            change = np.nonzero(np.diff(sids))[0] + 1
+            bounds = [0, *change.tolist(), len(sids)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                sub = t.slice(lo, hi - lo)
+                sid0 = int(sids[lo])
+                r0 = sub["row_idx"][0].as_py()
+                # deterministic unique name per (shard, first-row):
+                # task retries overwrite their own partial file, never
+                # a peer's
+                name = f"part-s{sid0:06d}-r{r0:09d}.parquet"
+                pq.write_table(sub, _os.path.join(self.out_dir, name))
         df = pd.DataFrame(
             {
                 "shard_id": t["shard_id"].to_numpy(zero_copy_only=False),
