@@ -391,3 +391,19 @@ def test_ngram_pairs_ds_equivalence(docs_ds, ray_session):
     ).to_pandas()
     assert (capped["n_capped"] > 0).any()
     assert len(capped[capped["n_capped"] == 0]) == 0
+
+
+def test_verify_pairs_ds_rejects_counter_columns(docs_ds, ray_session):
+    """Fail-fast: raw *_pairs_ds output (counter rows present) is
+    rejected before it can fabricate a (0, 0, 1.0) verified pair."""
+    import pandas as pd
+    import pytest
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import verify_pairs_jaccard_ds
+
+    bad = rd.from_pandas(
+        pd.DataFrame({"a": [0], "b": [0], "n_oversized": [3]})
+    )
+    with pytest.raises(ValueError, match="real_pairs_ds"):
+        verify_pairs_jaccard_ds(docs_ds, bad)

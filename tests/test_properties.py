@@ -164,3 +164,60 @@ def test_annotate_batch_matches_per_doc_kernels():
         assert got["lang_pred"][i] == lang_id(x), repr(x[:60])
         assert got["quality"][i] == quality_score(x, words), repr(x[:60])
         assert got["n_tokens"][i] == len(words), repr(x[:60])
+
+
+def test_simhash_batch_property_matches_reference():
+    """Property: the batched SimHasher equals the per-doc reference on
+    arbitrary unicode batches (forced tiny slabs exercise the
+    slab-boundary and empty-doc paths)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from xs_vlm_ocr_ray.stages.dedup import SimHasher
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.text(max_size=60), min_size=0, max_size=12))
+    def check(texts):
+        h = SimHasher()
+        h._SLAB_TOKENS = 3
+        t = pa.table(
+            {"doc_id": list(range(len(texts))),
+             "text": pa.array(texts, pa.string())}
+        )
+        got = h(t)["simhash"].to_pylist()
+        assert got == [SimHasher.simhash64(x) for x in texts]
+
+    check()
+
+
+def test_annotate_batch_property_matches_per_doc():
+    """Property: annotate_batch equals the per-doc kernels over random
+    batches drawn from the documented-compatible alphabet (ASCII,
+    accents, CJK, punctuation, whitespace — excluding the locale-cased
+    forms where Arrow's context-free lowercasing is the documented
+    divergence)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from xs_vlm_ocr_ray.functions.textstats import (
+        annotate_batch,
+        lang_id,
+        quality_score,
+    )
+
+    alphabet = st.sampled_from(
+        list("abcdefghijxyz ABCDEF0123 .,;:!?…，。；：！？ the und für le la "
+             "中文一二三四五鿿 éàüß \t\n\r")
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=80), max_size=10))
+    def check(texts):
+        got = annotate_batch(pa.array(texts, pa.string()))
+        for i, x in enumerate(texts):
+            words = x.split()
+            assert got["lang_pred"][i] == lang_id(x), repr(x)
+            assert got["quality"][i] == quality_score(x, words), repr(x)
+            assert got["n_tokens"][i] == len(words), repr(x)
+
+    check()
