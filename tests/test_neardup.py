@@ -407,3 +407,44 @@ def test_verify_pairs_ds_rejects_counter_columns(docs_ds, ray_session):
     )
     with pytest.raises(ValueError, match="real_pairs_ds"):
         verify_pairs_jaccard_ds(docs_ds, bad)
+
+
+def test_decontaminate(ray_session):
+    """Benchmark decontamination: containment scoring vs a brute-force
+    reference; drop and mark modes agree; empty docs never trip."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.functions.textstats import shingles
+    from xs_vlm_ocr_ray.stages.dedup import decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog today okay fine"]
+    contaminated = (
+        "intro words here then " + bench[0] + " and a short tail"
+    )
+    clean = " ".join(f"tok{i}" for i in range(40))
+    partial = "the quick brown fox jumps " + " ".join(f"x{i}" for i in range(60))
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": [contaminated, clean, partial, ""]}
+    )
+    ds = rd.from_pandas(docs)
+
+    marked = (
+        decontaminate(ds, bench, threshold=0.5, mark_only=True)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    bset = shingles(bench[0], 5)
+    for i, x in zip(docs["doc_id"], docs["text"]):
+        s = shingles(x or "", 5)
+        want = round(len(s & bset) / len(s), 6) if s else 0.0
+        assert marked.loc[i, "contamination"] == want, i
+    assert bool(marked.loc[0, "contaminated"]) is True
+    assert bool(marked.loc[1, "contaminated"]) is False
+    assert bool(marked.loc[3, "contaminated"]) is False  # empty doc
+
+    kept = decontaminate(ds, bench, threshold=0.5).to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(
+        marked.index[~marked["contaminated"]].tolist()
+    )
+    assert "contamination" not in kept.columns

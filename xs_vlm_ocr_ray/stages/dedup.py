@@ -1625,3 +1625,77 @@ def neardup_clusters_distributed(
         return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+# --- benchmark decontamination -------------------------------------------
+
+
+def decontaminate(
+    docs_ds: rd.Dataset,
+    benchmark_texts,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    mark_only: bool = False,
+) -> rd.Dataset:
+    """Benchmark decontamination — the standard pre-training hygiene
+    step the reference's dedup cache has no analog for: drop (or mark)
+    corpus documents whose word-``shingle_k``-shingle sets overlap any
+    benchmark/eval document too heavily, so evaluation data never
+    leaks into a training set.
+
+    Contamination score per doc = |doc shingles ∩ benchmark shingles|
+    / |doc shingles| (containment, not Jaccard — a short benchmark
+    prompt embedded in a long page must still trip the filter). Docs
+    with score ≥ ``threshold`` are dropped (or, with ``mark_only``,
+    kept with ``contamination`` and ``contaminated`` columns for
+    auditing).
+
+    Scale shape: the UNION of benchmark shingle hashes is broadcast
+    once via ``ray.put`` (a benchmark suite is tiny next to the corpus
+    — ~8 B per distinct shingle); each batch computes a vectorized
+    ``np.isin`` of its docs' shingles against the sorted benchmark
+    array and a segment-sum per doc. One streaming pass, no shuffle,
+    nothing driver-side but the benchmark itself. Docs with NO
+    shingles score 0.0 (nothing to leak)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    bench: set[int] = set()
+    for x in benchmark_texts:
+        bench |= shingles(x or "", shingle_k)
+    bench_ref = ray.put(np.fromiter(sorted(bench), dtype=np.uint64, count=len(bench)))
+
+    def score(t: pa.Table) -> pa.Table:
+        bench_arr = ray.get(bench_ref)  # shared-memory read per node
+        per_doc = [shingles(x or "", shingle_k) for x in t[text_col].to_pylist()]
+        counts = np.fromiter((len(s) for s in per_doc), dtype=np.int64, count=len(per_doc))
+        total = int(counts.sum())
+        flat = np.empty(total, dtype=np.uint64)
+        pos = 0
+        for s in per_doc:
+            if s:
+                flat[pos : pos + len(s)] = np.fromiter(s, dtype=np.uint64, count=len(s))
+                pos += len(s)
+        hit = (
+            np.isin(flat, bench_arr, assume_unique=False)
+            if total and len(bench_arr)
+            else np.zeros(total, dtype=bool)
+        )
+        cs = np.cumsum(hit, dtype=np.int64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        n_hit = np.zeros(len(per_doc), dtype=np.int64)
+        nz = ends > starts
+        n_hit[nz] = cs[ends[nz] - 1] - np.where(starts[nz] > 0, cs[starts[nz] - 1], 0)
+        frac = np.where(counts > 0, n_hit / np.maximum(counts, 1), 0.0)
+        out = t.append_column(
+            "contamination", pa.array(np.round(frac, 6), pa.float64())
+        ).append_column("contaminated", pa.array(frac >= threshold))
+        if mark_only:
+            return out
+        out = out.filter(pc.invert(out["contaminated"]))
+        return out.drop_columns(["contamination", "contaminated"])
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
