@@ -64,3 +64,28 @@ def test_ivf_recall(ray_session):
     # partial probe: reasonable recall at 1/4 the scan
     approx = set(ivf_topk(with_buckets, cent, q, k=10, nprobe=2)["vec_id"])
     assert len(approx & exact) >= 5
+
+
+def test_approx_quantiles_value_bound(ray_session):
+    """Approximate quantiles land within one bucket width of the exact
+    quantiles on the events value column; degenerate inputs behave."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.sketch import approx_quantiles
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["value"])
+    vals = np.sort(ds.to_pandas()["value"].to_numpy(dtype=np.float64))
+    qs = (0.1, 0.5, 0.9, 0.99)
+    got = approx_quantiles(ds, "value", qs=qs, bins=2048)
+    width = (vals[-1] - vals[0]) / 2048
+    for q, g in zip(qs, got):
+        exact = np.quantile(vals, q)
+        assert abs(g - exact) <= width + 1e-9, (q, g, exact, width)
+    # constant column -> the constant; empty -> NaNs
+    const = rd.from_pandas(pd.DataFrame({"value": [7.0] * 10}))
+    assert approx_quantiles(const, "value", qs=(0.5,)) == [7.0]
+    empty = rd.from_pandas(pd.DataFrame({"value": pd.Series([], dtype="float64")}))
+    out = approx_quantiles(empty, "value", qs=(0.5,))
+    assert len(out) == 1 and np.isnan(out[0])

@@ -89,3 +89,82 @@ def approx_distinct(ds: rd.Dataset, column: str, p: int = 12) -> int:
     ).to_pandas()
     merged = hll_merge([np.asarray(r, dtype=np.uint8) for r in rows["regs"]])
     return int(round(hll_estimate(merged)))
+
+
+# --- approximate quantiles (mergeable fixed-grid histogram) ---------------
+
+
+def approx_quantiles(
+    ds: rd.Dataset,
+    column: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 4096,
+) -> list[float]:
+    """Distributed approximate quantiles of a numeric column.
+
+    Two passes, both partial-reduced (nothing but tiny summaries cross
+    the wire):
+
+    1. a (min, max) aggregate fixes a value grid;
+    2. each batch reduces to ONE row holding its ``bins``-bucket count
+       histogram over that grid; histograms merge by elementwise sum
+       (associative/commutative, like the HLL registers above); the
+       quantile is read off the merged CDF, interpolated inside its
+       bucket.
+
+    Error bound: a quantile is off by at most one bucket width,
+    ``(max - min) / bins`` in VALUE terms (rank error depends on the
+    distribution; pytest gates the value bound). Null values are
+    ignored; an all-null/empty column returns NaNs.
+    """
+    import pyarrow.compute as pc
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        col = t[column]
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(col).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(col).as_py()], pa.float64()),
+                "n": pa.array([len(col) - col.null_count], pa.int64()),
+            }
+        )
+
+    ds = ds.select_columns([column]).materialize()  # two passes, one read
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    # an empty dataset produces no partial rows at all (Ray skips the
+    # fn on empty blocks) — treat like an all-null column
+    n_total = int(mm["n"].sum()) if "n" in mm.columns else 0
+    if n_total == 0:
+        return [float("nan")] * len(qs)
+    lo = float(mm["lo"].min())
+    hi = float(mm["hi"].max())
+    if hi == lo:
+        return [lo] * len(qs)
+    width = (hi - lo) / bins
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.table({"h": pa.array([counts], pa.list_(pa.int64(), bins))})
+
+    rows = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = np.zeros(bins, dtype=np.int64)
+    for h in rows["h"]:
+        hist += np.asarray(h, dtype=np.int64)
+    cdf = np.cumsum(hist)
+    out: list[float] = []
+    for q in qs:
+        target = q * n_total
+        b = int(np.searchsorted(cdf, target, side="left"))
+        b = min(b, bins - 1)
+        prev = int(cdf[b - 1]) if b > 0 else 0
+        inside = int(hist[b])
+        frac = ((target - prev) / inside) if inside else 0.0
+        out.append(lo + (b + min(max(frac, 0.0), 1.0)) * width)
+    return out
