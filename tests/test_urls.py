@@ -77,3 +77,31 @@ def test_q_domain_stats_matches_duckdb(ray_session):
         {"total_chars": "int64", "n_pages": "int64"}
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_filter_domains(ray_session):
+    """Blocklist filter: exact and parent-domain matches drop; others
+    and unparseable urls keep (by default)."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.functions.urls import filter_domains
+
+    df = pd.DataFrame(
+        {
+            "url": [
+                "https://spam.example/page",        # exact block
+                "https://ads.spam.example/x",       # subdomain of block
+                "https://fine.example/y",           # kept
+                "https://notspam.example/z",        # NOT a suffix match
+                "no-scheme-here",                   # unparseable
+            ],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    out = filter_domains(rd.from_pandas(df), ["spam.example"]).to_pandas()
+    assert sorted(out["v"]) == [3, 4, 5]
+    out2 = filter_domains(
+        rd.from_pandas(df), ["spam.example"], keep_unparseable=False
+    ).to_pandas()
+    assert sorted(out2["v"]) == [3, 4]

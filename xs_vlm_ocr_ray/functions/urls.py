@@ -111,3 +111,40 @@ def cap_per_domain(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def filter_domains(
+    ds: rd.Dataset,
+    blocklist,
+    url_col: str = "url",
+    keep_unparseable: bool = True,
+) -> rd.Dataset:
+    """Drop rows whose url's domain (or any parent domain — blocking
+    ``example.com`` also blocks ``ads.example.com``) is on the
+    blocklist: the standard spam/boilerplate-site exclusion step of a
+    web-corpus curation run. The blocklist is broadcast once via
+    ``ray.put`` (spam lists are tiny next to the corpus); matching is
+    a vectorized suffix check per batch. Rows whose url has no
+    parseable domain are kept by default (``keep_unparseable``)."""
+    import numpy as np
+
+    import ray
+
+    block = {d.lower().lstrip(".") for d in blocklist}
+    ref = ray.put(block)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bl: set[str] = ray.get(ref)
+        doms = domain_of(t[url_col]).to_pylist()
+        mask = np.empty(len(doms), dtype=bool)
+        for i, d in enumerate(doms):
+            if d is None:
+                mask[i] = keep_unparseable
+                continue
+            parts = d.split(".")
+            mask[i] = not any(
+                ".".join(parts[j:]) in bl for j in range(len(parts))
+            )
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
