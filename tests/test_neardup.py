@@ -409,6 +409,84 @@ def test_verify_pairs_ds_rejects_counter_columns(docs_ds, ray_session):
         verify_pairs_jaccard_ds(docs_ds, bad)
 
 
+def test_embedding_pairs_ds_both_routes(ray_session):
+    """embedding_neardup_pairs_ds == the driver wrapper on BOTH routes
+    (brute-force broadcast matmul, and LSH-bucketed forced via
+    max_rows_bruteforce=0 — the >500k-row scale route), and the pair
+    Dataset feeds drop_neardups_ds without a driver funnel."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import (
+        drop_neardups,
+        drop_neardups_ds,
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_ds,
+    )
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    brute = embedding_neardup_pairs(ds, threshold=0.4)
+    assert len(brute) > 0  # the corpus plants embedding near-dups
+
+    got_brute = (
+        embedding_neardup_pairs_ds(ds, threshold=0.4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_brute, brute)
+
+    # bucketed route at corpus scale: 0.4-cosine pairs almost never
+    # share all 12 hyperplane signs, so the route finds nothing here —
+    # the _ds tail must still return a TYPED empty (sortable, feedable
+    # to drop_neardups_ds), matching the wrapper
+    want_bucketed = embedding_neardup_pairs(ds, threshold=0.4, max_rows_bruteforce=0)
+    assert len(want_bucketed) == 0
+    empty_ds = embedding_neardup_pairs_ds(ds, threshold=0.4, max_rows_bruteforce=0)
+    assert empty_ds.count() == 0
+    assert empty_ds.schema().names == ["a", "b", "sim"]  # typed, not schema-less
+
+    # bucketed route NON-EMPTY: clusters of near-identical vectors
+    # (cosine ≈ 1 → ~84% per-pair bucket-collision probability over 12
+    # planes) mixed with orthogonal-ish noise. _ds == wrapper, and every
+    # bucketed pair is a true pair (subset of the exact brute set).
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(8, 16))
+    rows = []
+    for ci, v in enumerate(base):
+        for k in range(4):  # 4 near-copies per cluster
+            rows.append(v + rng.normal(scale=1e-3, size=16))
+    mat = np.stack(rows)
+    sds = rd.from_pandas(
+        pd.DataFrame({"vec_id": range(len(mat)), "embedding": list(mat)})
+    )
+    want_syn = embedding_neardup_pairs(sds, threshold=0.9, max_rows_bruteforce=0)
+    got_syn = (
+        embedding_neardup_pairs_ds(sds, threshold=0.9, max_rows_bruteforce=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got_syn) > 0
+    pd.testing.assert_frame_equal(got_syn, want_syn)
+    exact_syn = embedding_neardup_pairs(sds, threshold=0.9)
+    assert set(zip(got_syn["a"], got_syn["b"])) <= set(
+        zip(exact_syn["a"], exact_syn["b"])
+    )
+
+    # the _ds tail feeds drop_neardups_ds end to end (no .to_pandas
+    # anywhere between pair generation and the keep filter)
+    want_kept = sorted(
+        drop_neardups(ds, brute, id_col="vec_id").to_pandas()["vec_id"]
+    )
+    kept = drop_neardups_ds(
+        ds, embedding_neardup_pairs_ds(ds, threshold=0.4), id_col="vec_id"
+    ).to_pandas()
+    assert sorted(kept["vec_id"]) == want_kept
+
+
 def test_decontaminate(ray_session):
     """Benchmark decontamination: containment scoring vs a brute-force
     reference; drop and mark modes agree; empty docs never trip."""

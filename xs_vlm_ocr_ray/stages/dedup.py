@@ -1208,28 +1208,33 @@ def simhash_neardup_pairs(
 # --- embedding-cosine near-dup ------------------------------------------
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs_ds(
     emb_ds: rd.Dataset,
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_rows_bruteforce: int = 500_000,
-) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs ≥ threshold.
+) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs ≥ threshold, as a Dataset — the
+    corpus-scale path (``embedding_neardup_pairs`` is the driver-side
+    query wrapper). Output columns: (a, b, sim); feeds
+    ``drop_neardups_ds`` directly, so a near-dup-rich corpus's pair
+    list never funnels through the driver.
 
-    Brute-force path (EXACT, default below ``max_rows_bruteforce``
+    Brute-force route (EXACT, default below ``max_rows_bruteforce``
     rows): the normalized matrix is ``ray.put`` ONCE into the object
     store; each batch task ``ray.get``s the same shared-memory copy
     (zero-copy on-node, shipped once per node in a cluster) and computes
     a vectorized ``batch × all`` cosine, emitting only its qualifying
-    (a < b) pairs — no shuffle, no per-batch re-ship, partial results
-    only.
+    (a < b) pairs — no shuffle, no per-batch re-ship, each pair emitted
+    exactly once (by the batch holding its ``a`` row).
 
     Above the threshold the matrix no longer belongs on one heap and the
-    call routes to the LSH-bucketed path: hyperplane-bucket assignment →
-    ``groupby(bucket)`` → exact cosine WITHIN each bucket (approximate
-    overall — cross-bucket pairs are missed with the usual LSH
-    probability; see ann.lsh_bucket_ids)."""
+    call routes to the LSH-bucketed route: hyperplane-bucket assignment
+    → ``groupby(bucket)`` → exact cosine WITHIN each bucket
+    (approximate overall — cross-bucket pairs are missed with the usual
+    LSH probability; see ann.lsh_bucket_ids); a pair found in several
+    buckets is deduped by a pair-keyed groupby over int64 triples."""
     import ray
 
     # checkpoint once so the size probe and the pair pass share ONE
@@ -1239,11 +1244,12 @@ def embedding_neardup_pairs(
     emb_ds = emb_ds.materialize()
     n = emb_ds.count()
     if n > max_rows_bruteforce:
-        return _embedding_neardup_bucketed(
+        return _embedding_neardup_bucketed_ds(
             emb_ds, threshold=threshold, vec_col=vec_col, id_col=id_col
         )
 
-    # bounded driver assembly: ids + flat matrix, immediately ray.put
+    # bounded driver assembly (≤ max_rows_bruteforce rows by the route
+    # condition): ids + flat matrix, immediately ray.put
     all_df = emb_ds.to_pandas()
     ids_all = all_df[id_col].to_numpy()
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in all_df[vec_col]])
@@ -1270,25 +1276,45 @@ def embedding_neardup_pairs(
             }
         )
 
-    out = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return emb_ds.map_batches(partial, batch_format="pyarrow")
+
+
+def embedding_neardup_pairs(
+    emb_ds: rd.Dataset,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows_bruteforce: int = 500_000,
+) -> pd.DataFrame:
+    """Driver-side convenience wrapper over
+    ``embedding_neardup_pairs_ds`` (query surface / small pair lists):
+    the same routed plan, collected and sorted on the driver."""
+    out = embedding_neardup_pairs_ds(
+        emb_ds,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_rows_bruteforce=max_rows_bruteforce,
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame({"a": [], "b": [], "sim": []})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _embedding_neardup_bucketed(
+def _embedding_neardup_bucketed_ds(
     emb_ds: rd.Dataset,
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_planes: int = 12,
     coarse_buckets: int = 1024,
-) -> pd.DataFrame:
-    """Approximate scale path: hyperplane-LSH bucket assignment, then
+) -> rd.Dataset:
+    """Approximate scale route: hyperplane-LSH bucket assignment, then
     exact pairwise cosine WITHIN each bucket (grouped by a coarse bucket
     prefix; exact buckets resolved with a vectorized inner pandas
     groupby). Never materializes the corpus on the driver; the shuffle
-    moves each vector exactly once."""
+    moves each vector exactly once, and the pair dedup (a pair can
+    surface from more than one bucket) shuffles int64 triples only."""
     from .ann import lsh_bucket_ids
 
     with_buckets = lsh_bucket_ids(emb_ds, num_planes=num_planes, vec_col=vec_col)
@@ -1328,19 +1354,32 @@ def _embedding_neardup_bucketed(
         out = pd.concat(out_frames, ignore_index=True)
         return out.astype({"a": "int64", "b": "int64", "sim": "float64"})
 
-    pairs = (
+    raw = (
         with_buckets.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(per_coarse, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "sim": []})
-    return (
-        pairs.drop_duplicates(["a", "b"])
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+    # distinct (a, b): duplicate emissions carry the SAME rounded sim
+    # (cosine of the same two vectors), so any picker works — Min keeps
+    # the aggregate mergeable. Only int64/float64 triples shuffle.
+    agg = raw.groupby(["a", "b"]).aggregate(Min("sim", alias_name="sim"))
+    # zero qualifying pairs leaves the aggregate SCHEMA-LESS (Ray 2.49
+    # emits no typed empty block); hand downstream consumers
+    # (drop_neardups_ds's select_columns, the wrapper's sort) a typed
+    # empty instead. The probe materializes only the pair list — orders
+    # of magnitude below the corpus by construction.
+    agg = agg.materialize()
+    if agg.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return agg
 
 
 # --- near-dup clustering (connected components over pair lists) ----------
