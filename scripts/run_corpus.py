@@ -40,15 +40,39 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true", help="ignore existing manifest")
     ap.add_argument("--compact", action="store_true",
                     help="after the run, compact the results store to one "
-                         "file per shard (atomic; manifest contracts kept)")
+                         "file per shard (atomic; manifest contracts kept). "
+                         "EXCLUSIVE-WRITER: compaction garbage-collects every "
+                         "store directory the manifest does not reference — "
+                         "never run it while another process is writing the "
+                         "same store (see DEPLOY.md)")
     ap.add_argument("--near-dedup", action="store_true",
                     help="training pipeline: add the MinHash near-dup stage 3")
     ap.add_argument("--max-per-domain", type=int, default=None,
                     help="training pipeline: per-site sampling cap after dedup")
+    ap.add_argument("--blocklist", default=None, metavar="FILE",
+                    help="training pipeline: domain blocklist file (one "
+                         "domain per line, '#' comments; '*.d.com' ≡ 'd.com'; "
+                         "parent-domain suffix matching) applied BEFORE "
+                         "extraction; summary reports n_blocked")
+    ap.add_argument("--decontam-dir", default=None, metavar="DIR",
+                    help="training pipeline: parquet dir/file of benchmark "
+                         "texts; curated docs with shingle containment >= "
+                         "--decontam-threshold are dropped (or marked); "
+                         "summary reports n_contaminated")
+    ap.add_argument("--decontam-col", default="text",
+                    help="column holding benchmark text in --decontam-dir "
+                         "(default: text)")
+    ap.add_argument("--decontam-mode", choices=["drop", "mark"], default="drop",
+                    help="drop contaminated docs (default) or keep them with "
+                         "contamination/contaminated audit columns")
+    ap.add_argument("--decontam-threshold", type=float, default=0.5,
+                    help="containment score threshold (default 0.5)")
     ap.add_argument("--concurrency", type=int, default=None,
                     help="actor-pool size for heavy engines (default: task pool)")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local)")
     args = ap.parse_args(argv)
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
     if args.pipeline == "training":
         # the training pipeline hardcodes the routed dual-engine chain;
@@ -63,6 +87,40 @@ def main(argv: list[str] | None = None) -> int:
             if val != default:
                 ap.error(f"{flag} is not supported with --pipeline training "
                          "(the curation run uses the routed dual-engine chain)")
+    else:
+        # the curation gates are stages of the training pipeline only —
+        # a silently-ignored blocklist would be a curation hazard
+        for flag, val in (
+            ("--blocklist", args.blocklist),
+            ("--decontam-dir", args.decontam_dir),
+        ):
+            if val is not None:
+                ap.error(f"{flag} requires --pipeline training")
+
+    blocklist = None
+    if args.blocklist is not None:
+        with open(args.blocklist) as f:
+            blocklist = [
+                line.strip() for line in f
+                if line.strip() and not line.lstrip().startswith("#")
+            ]
+
+    decontam_texts = None
+    if args.decontam_dir is not None:
+        # a benchmark suite is tiny next to the corpus — a driver-side
+        # pyarrow read is the right tool (no Ray session needed yet)
+        import pyarrow.parquet as _pq
+
+        from xs_vlm_ocr_ray.sources.pages import list_shards as _list_shards
+
+        decontam_texts = []
+        for p in _list_shards(args.decontam_dir):
+            decontam_texts.extend(
+                _pq.read_table(p, columns=[args.decontam_col])
+                [args.decontam_col].to_pylist()
+            )
+        if not decontam_texts:
+            ap.error(f"--decontam-dir {args.decontam_dir}: no rows found")
 
     import ray
 
@@ -75,8 +133,6 @@ def main(argv: list[str] | None = None) -> int:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
-
     if args.pipeline == "training":
         from xs_vlm_ocr_ray.pipelines.training import run_training_pipeline
 
@@ -87,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
             wave_shards=args.wave_shards,
             near_dedup=args.near_dedup,
             max_per_domain=args.max_per_domain,
+            blocklist=blocklist,
+            decontam_texts=decontam_texts,
+            decontam_threshold=args.decontam_threshold,
+            decontam_mode=args.decontam_mode,
         )
     else:
         from xs_vlm_ocr_ray.engines.config import ConfigWatcher, default_config

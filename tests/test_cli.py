@@ -33,6 +33,57 @@ def test_run_corpus_extract(tiny_pages_dir, tmp_path):
     assert summary2["waves"] == 0 and summary2["rows"] == 200
 
 
+def test_run_corpus_training_gates(ray_session, tiny_pages_dir, tmp_path):
+    """--blocklist / --decontam-dir wire through to the curation run:
+    gate counts surface in the summary JSON; the flags are rejected for
+    the extract pipeline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xs_vlm_ocr_ray.pipelines.training import build_training_ds
+
+    df = build_training_ds(tiny_pages_dir).to_pandas()
+    # the benchmark doc must survive the blocklist gate below
+    cand = df[(df["n_tokens"] >= 50) & ~df["url"].str.contains("//site0.example")]
+    bench_text = cand["extracted_text"].iloc[0]
+    bdir = tmp_path / "bench"
+    bdir.mkdir()
+    pq.write_table(pa.table({"text": [bench_text]}), bdir / "bench.parquet")
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# spam domains\n*.site0.example\n\n")
+
+    out = subprocess.run(
+        [
+            sys.executable, "scripts/run_corpus.py",
+            "--input", tiny_pages_dir,
+            "--out", str(tmp_path / "o"),
+            "--pipeline", "training",
+            "--blocklist", str(bl),
+            "--decontam-dir", str(bdir),
+            "--num-cpus", "2",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["n_blocked"] == 3       # site{i%97}: i in {0, 97, 194}
+    assert summary["n_contaminated"] >= 1
+    assert summary["n_curated"] > 0
+
+    # curation gates are training-pipeline stages: extract rejects them
+    bad = subprocess.run(
+        [
+            sys.executable, "scripts/run_corpus.py",
+            "--input", tiny_pages_dir,
+            "--out", str(tmp_path / "o2"),
+            "--blocklist", str(bl),
+        ],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode != 0
+    assert "--pipeline training" in bad.stderr
+
+
 def test_run_corpus_compact(tiny_pages_dir, tmp_path):
     out = subprocess.run(
         [

@@ -163,6 +163,77 @@ def test_training_max_per_domain(ray_session, tiny_pages_dir):
     assert (merged["_merge"] == "both").all()
 
 
+def test_training_blocklist_and_decontam_gates(ray_session, tiny_pages_dir):
+    """In-memory path: the domain blocklist and benchmark-decontamination
+    gates drop (and COUNT) rows; per-stage walls are recorded."""
+    from xs_vlm_ocr_ray.pipelines.training import (
+        build_training_ds,
+        run_training_pipeline,
+    )
+
+    base = run_training_pipeline(tiny_pages_dir)
+    assert {"stage1_s", "election_s", "filter_s"} <= set(base["stage_walls_s"])
+
+    # fixture urls are site{i%97}.example → i ∈ {0, 97, 194} of 200
+    blocked = run_training_pipeline(tiny_pages_dir, blocklist=["site0.example"])
+    assert blocked["n_blocked"] == 3
+    assert blocked["n_curated"] <= base["n_curated"]
+
+    df = build_training_ds(tiny_pages_dir).to_pandas()
+    bench = [df[df["n_tokens"] >= 50]["extracted_text"].iloc[0]]
+    dropped = run_training_pipeline(tiny_pages_dir, decontam_texts=bench)
+    assert dropped["n_contaminated"] >= 1
+    assert dropped["n_curated"] == base["n_curated"] - dropped["n_contaminated"]
+    marked = run_training_pipeline(
+        tiny_pages_dir, decontam_texts=bench, decontam_mode="mark"
+    )
+    assert marked["n_contaminated"] == dropped["n_contaminated"]
+    assert marked["n_curated"] == base["n_curated"]  # mark never drops
+
+    with pytest.raises(ValueError):
+        run_training_pipeline(tiny_pages_dir, decontam_texts=bench,
+                              decontam_mode="delete")
+
+
+def test_training_out_dir_gates(ray_session, tiny_pages_dir, tmp_path):
+    """Resumable path: gates apply to the durable curated store; drop
+    mode excludes contaminated docs, mark mode keeps audit columns."""
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.pipelines.training import (
+        build_training_ds,
+        run_training_pipeline,
+    )
+
+    df = build_training_ds(tiny_pages_dir).to_pandas()
+    # pick the benchmark from a NOT-blocked domain (the blocklist gate
+    # below must not remove the contamination target itself)
+    cand = df[(df["n_tokens"] >= 50) & ~df["url"].str.contains("//site0.example")]
+    bench_text = cand["extracted_text"].iloc[0]
+
+    out = str(tmp_path / "cur")
+    s = run_training_pipeline(
+        tiny_pages_dir, out_dir=out,
+        blocklist=["site0.example"], decontam_texts=[bench_text],
+    )
+    back = rd.read_parquet(out + "/curated").to_pandas()
+    assert s["n_blocked"] == 3
+    assert s["n_contaminated"] >= 1
+    assert len(back) == s["n_curated"]
+    assert not back["url"].str.contains("site0.example").any()
+    assert bench_text not in set(back["extracted_text"])
+    assert "contaminated" not in back.columns  # drop mode strips audit cols
+
+    out2 = str(tmp_path / "cur2")
+    s2 = run_training_pipeline(
+        tiny_pages_dir, out_dir=out2,
+        decontam_texts=[bench_text], decontam_mode="mark",
+    )
+    back2 = rd.read_parquet(out2 + "/curated").to_pandas()
+    assert {"contamination", "contaminated"} <= set(back2.columns)
+    assert int(back2["contaminated"].sum()) == s2["n_contaminated"] >= 1
+
+
 def test_stage3_near_dedup_distributed_route(ray_session, tmp_path):
     """Stage 3 through the distributed CC + anti-join route (forced via
     zero thresholds) produces the identical final store as the

@@ -105,3 +105,34 @@ def test_filter_domains(ray_session):
         rd.from_pandas(df), ["spam.example"], keep_unparseable=False
     ).to_pandas()
     assert sorted(out2["v"]) == [3, 4]
+
+
+def test_filter_domains_wildcard_and_depths(ray_session):
+    """'*.d.com' ≡ 'd.com' (ADVICE round 3: the wildcard form must not
+    silently match nothing); entries of different label depths are each
+    matched at their own depth; unsupported wildcards raise."""
+    import pandas as pd
+    import pytest
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.functions.urls import filter_domains, normalize_blocklist
+
+    df = pd.DataFrame(
+        {
+            "url": [
+                "https://x.ads.net/1",      # blocked via *.ads.net
+                "https://ads.net/2",        # blocked (wildcard ≡ parent)
+                "https://deep.a.b.c.org/3", # blocked via 3-label a.b.c.org
+                "https://b.c.org/4",        # kept (only a.b.c.org blocked)
+                "https://clean.com/5",      # kept
+            ],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    out = filter_domains(rd.from_pandas(df), ["*.ads.net", "a.b.c.org"]).to_pandas()
+    assert sorted(out["v"]) == [4, 5]
+    assert normalize_blocklist([" *.Ads.NET ", ".b.com"]) == {"ads.net", "b.com"}
+    with pytest.raises(ValueError):
+        normalize_blocklist(["a.*.com"])
+    with pytest.raises(ValueError):
+        normalize_blocklist(["*."])

@@ -113,6 +113,25 @@ def cap_per_domain(
     )
 
 
+def normalize_blocklist(blocklist) -> set[str]:
+    """Canonicalize blocklist entries: lowercase, strip whitespace, a
+    leading ``*.`` wildcard (``*.example.com`` ≡ ``example.com`` under
+    parent-domain matching) and leading dots. Entries that still
+    contain ``*`` (an unsupported wildcard position) or normalize to
+    empty raise — a silently-matching-nothing blocklist entry is a
+    curation hazard, not a convenience."""
+    out: set[str] = set()
+    for d in blocklist:
+        d = str(d).strip().lower()
+        if d.startswith("*."):
+            d = d[2:]
+        d = d.lstrip(".")
+        if not d or "*" in d:
+            raise ValueError(f"unsupported blocklist entry: {d!r}")
+        out.add(d)
+    return out
+
+
 def filter_domains(
     ds: rd.Dataset,
     blocklist,
@@ -124,27 +143,40 @@ def filter_domains(
     blocklist: the standard spam/boilerplate-site exclusion step of a
     web-corpus curation run. The blocklist is broadcast once via
     ``ray.put`` (spam lists are tiny next to the corpus); matching is
-    a vectorized suffix check per batch. Rows whose url has no
-    parseable domain are kept by default (``keep_unparseable``)."""
+    fully vectorized: entries are grouped by label depth, and for each
+    distinct depth ``k`` (a handful) one ``pc.extract_regex`` pulls the
+    last-``k``-labels suffix of every domain and one ``pc.is_in``
+    checks it against that depth's entries — no per-row Python. Rows
+    whose url has no parseable domain are kept by default
+    (``keep_unparseable``)."""
     import numpy as np
 
     import ray
 
-    block = {d.lower().lstrip(".") for d in blocklist}
-    ref = ray.put(block)
+    by_depth: dict[int, list[str]] = {}
+    for d in sorted(normalize_blocklist(blocklist)):
+        by_depth.setdefault(d.count(".") + 1, []).append(d)
+    ref = ray.put(by_depth)
 
     def keep(t: pa.Table) -> pa.Table:
-        bl: set[str] = ray.get(ref)
-        doms = domain_of(t[url_col]).to_pylist()
-        mask = np.empty(len(doms), dtype=bool)
-        for i, d in enumerate(doms):
-            if d is None:
-                mask[i] = keep_unparseable
-                continue
-            parts = d.split(".")
-            mask[i] = not any(
-                ".".join(parts[j:]) in bl for j in range(len(parts))
+        depth_map: dict[int, list[str]] = ray.get(ref)
+        doms = domain_of(t[url_col])
+        if isinstance(doms, pa.ChunkedArray):
+            doms = doms.combine_chunks()
+        valid = pc.is_valid(doms)
+        blocked = pa.array(np.zeros(len(doms), dtype=bool))
+        for k, entries in depth_map.items():
+            # the last k labels of the domain; a domain with fewer
+            # labels yields null (no match) -> fill_null -> not blocked
+            pat = r"(?P<s>[^.]+" + (r"\.[^.]+" * (k - 1)) + r")$"
+            suf = pc.struct_field(pc.extract_regex(doms, pat), "s")
+            hit = pc.fill_null(
+                pc.is_in(suf, value_set=pa.array(entries, pa.string())), False
             )
-        return t.filter(pa.array(mask))
+            blocked = pc.or_(blocked, hit)
+        mask = pc.if_else(
+            valid, pc.invert(blocked), pa.scalar(keep_unparseable)
+        )
+        return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -66,10 +66,20 @@ def build_routed_extract_ds(
     concurrency=None,
     batch_size: int | None = None,
     skip_shards=frozenset(),
+    blocklist=None,
 ) -> rd.Dataset:
     """classify → routed dual-engine extraction (task mode by default,
-    actor pool with ``concurrency=N`` for heavy engines)."""
+    actor pool with ``concurrency=N`` for heavy engines).
+
+    ``blocklist``: optional domain blocklist applied BEFORE
+    classification/extraction (``functions.urls.filter_domains``) —
+    blocked pages never pay extraction cost, the right spot for the
+    spam-site gate at 100 TB."""
     ds = read_pages(sf_dir_or_paths, columns=["url", "html"], skip_shards=skip_shards)
+    if blocklist is not None:
+        from ..functions.urls import filter_domains
+
+        ds = filter_domains(ds, blocklist)
     ds = ds.map_batches(classify_payload_kind, batch_format="pyarrow")
     if concurrency is None:
         return ds.map_batches(

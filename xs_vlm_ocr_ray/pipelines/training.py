@@ -73,16 +73,18 @@ def build_filtered_ds(
     min_quality: float = 0.5,
     min_tokens: int = 20,
     skip_shards=frozenset(),
+    blocklist=None,
 ) -> rd.Dataset:
-    """Stage 1 of the curation run: routed extract → annotate →
-    quality/length filter → within-batch collapse → lineage order key.
-    Pure per-shard map chain (no shuffle) — which is what makes it
-    checkpointable with the flagship's wave/manifest machinery
-    (``run_training_pipeline`` with ``out_dir``)."""
+    """Stage 1 of the curation run: [domain blocklist →] routed extract
+    → annotate → quality/length filter → within-batch collapse →
+    lineage order key. Pure per-shard map chain (no shuffle) — which is
+    what makes it checkpointable with the flagship's wave/manifest
+    machinery (``run_training_pipeline`` with ``out_dir``)."""
     import pyarrow.compute as pc
 
     ds = build_routed_extract_ds(
-        sf_dir_or_paths, emit_spans=False, skip_shards=skip_shards
+        sf_dir_or_paths, emit_spans=False, skip_shards=skip_shards,
+        blocklist=blocklist,
     )
     ds = ds.map_batches(_annotate, batch_format="pyarrow")
 
@@ -110,9 +112,11 @@ def build_training_ds(
     min_quality: float = 0.5,
     min_tokens: int = 20,
     max_per_domain: int | None = None,
+    blocklist=None,
 ) -> rd.Dataset:
-    """Lazy curated-dataset pipeline (filter → dedup keeps min-lineage
-    row per distinct extracted text → optional per-site sampling cap)."""
+    """Lazy curated-dataset pipeline ([blocklist →] filter → dedup
+    keeps min-lineage row per distinct extracted text → optional
+    per-site sampling cap)."""
 
     # exact dedup, deterministic keeper = min (shard_id, row_idx) per
     # distinct text. The naive plan — groupby(text_hash).map_groups over
@@ -137,7 +141,9 @@ def build_training_ds(
     # a hash-shuffle semi-join on the order key instead — still only
     # one full-data exchange of PRE-DEDUPED rows, the strict worst case
     # the old plan always paid.
-    pre = build_filtered_ds(sf_dir_or_paths, min_quality, min_tokens)
+    pre = build_filtered_ds(
+        sf_dir_or_paths, min_quality, min_tokens, blocklist=blocklist
+    )
     mat = pre.materialize()
     out = dedup_by_winner(mat)
     if max_per_domain is not None:
@@ -161,6 +167,38 @@ def dedup_by_winner(mat: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _count_marked(marked: rd.Dataset) -> tuple[int, int]:
+    """One streaming pass over a decontaminate(mark_only=True) output:
+    (total rows, contaminated rows) via a per-batch partial reduce."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.sum(pc.cast(t["contaminated"], pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "c": pa.array([int(c)], pa.int64()),
+            }
+        )
+
+    df = marked.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return 0, 0
+    return int(df["n"].sum()), int(df["c"].sum())
+
+
+def _count_blocked(sf_dir_or_paths, blocklist, total: int) -> int:
+    """Blocklist gate count from a column-pruned url-only pass (never
+    re-runs extraction): input rows minus rows surviving the filter."""
+    from ..functions.urls import filter_domains
+    from ..sources.pages import read_pages
+
+    survivors = filter_domains(
+        read_pages(sf_dir_or_paths, columns=["url"]), blocklist
+    ).count()
+    return total - survivors
+
+
 def run_training_pipeline(
     sf_dir_or_paths,
     out_dir: str | None = None,
@@ -170,8 +208,28 @@ def run_training_pipeline(
     wave_shards: int | None = None,
     near_dedup: bool = False,
     max_per_domain: int | None = None,
+    blocklist=None,
+    decontam_texts=None,
+    decontam_threshold: float = 0.5,
+    decontam_mode: str = "drop",
 ) -> dict:
-    """Execute the curation run. Returns gate counts.
+    """Execute the curation run. Returns gate counts (``n_blocked`` /
+    ``n_contaminated`` appear whenever their gate is enabled — no
+    silent drops) and, on the in-memory path, per-stage wall times
+    (``stage_walls_s``) so the bench artifact can attribute a slow run
+    to a stage instead of guessing.
+
+    Optional curation gates a 100 TB run cannot skip:
+
+    - ``blocklist``: domain blocklist applied BEFORE extraction
+      (blocked pages never pay extraction; changing the blocklist
+      between resumed runs only affects not-yet-processed shards —
+      re-run without resume for a uniform policy);
+    - ``decontam_texts`` + ``decontam_mode``: benchmark
+      decontamination over the curated output (``stages.dedup.
+      decontaminate``, containment ≥ ``decontam_threshold``) — "drop"
+      removes contaminated docs, "mark" keeps them with
+      ``contamination``/``contaminated`` audit columns.
 
     Without ``out_dir``: in-memory (object-store checkpoint) — the
     bench/query path.
@@ -188,17 +246,56 @@ def run_training_pipeline(
       extraction cost).
     """
     import os
+    import time
 
     from ..sources.pages import read_pages
+
+    if decontam_mode not in ("drop", "mark"):
+        raise ValueError(f"decontam_mode must be 'drop' or 'mark' (got {decontam_mode!r})")
 
     # input count from a column-pruned read — never re-run extraction
     # just to count its input
     total = read_pages(sf_dir_or_paths, columns=["url"]).count()
+    gates: dict = {}
+    if blocklist is not None:
+        gates["n_blocked"] = _count_blocked(sf_dir_or_paths, blocklist, total)
+
     if out_dir is None:
-        kept = build_training_ds(
-            sf_dir_or_paths, min_quality, min_tokens, max_per_domain
-        ).count()
-        return {"n_input": total, "n_curated": kept, "n_dropped": total - kept}
+        walls: dict[str, float] = {}
+        t0 = time.perf_counter()
+        mat = build_filtered_ds(
+            sf_dir_or_paths, min_quality, min_tokens, blocklist=blocklist
+        ).materialize()
+        walls["stage1_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out = dedup_by_winner(mat)  # election runs eagerly in here
+        walls["election_s"] = round(time.perf_counter() - t0, 3)
+        if max_per_domain is not None:
+            from ..functions.urls import cap_per_domain
+
+            out = cap_per_domain(out, max_per_domain)
+        t0 = time.perf_counter()
+        if decontam_texts is None:
+            kept = out.count()
+            walls["filter_s"] = round(time.perf_counter() - t0, 3)
+        else:
+            from ..stages.dedup import decontaminate
+
+            marked = decontaminate(
+                out, decontam_texts, threshold=decontam_threshold,
+                text_col="extracted_text", mark_only=True,
+            )
+            n_all, n_cont = _count_marked(marked)
+            walls["filter_s"] = round(time.perf_counter() - t0, 3)
+            gates["n_contaminated"] = n_cont
+            kept = n_all - n_cont if decontam_mode == "drop" else n_all
+        return {
+            "n_input": total,
+            "n_curated": kept,
+            "n_dropped": total - kept,
+            "stage_walls_s": walls,
+            **gates,
+        }
 
     from .extract import read_results, run_extract
 
@@ -207,7 +304,8 @@ def run_training_pipeline(
 
     def builder(paths, skip):
         return build_filtered_ds(
-            paths, min_quality, min_tokens, skip_shards=skip
+            paths, min_quality, min_tokens, skip_shards=skip,
+            blocklist=blocklist,
         )
 
     s1 = run_extract(
@@ -233,6 +331,28 @@ def run_training_pipeline(
             from ..functions.urls import cap_per_domain
 
             curated = cap_per_domain(curated, max_per_domain)
+        if decontam_texts is not None:
+            import pyarrow.compute as pc
+
+            from ..stages.dedup import decontaminate
+
+            # mark + one bounded materialize (the curated rows about to
+            # be written anyway): the gate count and the final filter
+            # share one execution of the election/filter upstream
+            marked = decontaminate(
+                curated, decontam_texts, threshold=decontam_threshold,
+                text_col="extracted_text", mark_only=True,
+            ).materialize()
+            _, n_cont = _count_marked(marked)
+            gates["n_contaminated"] = n_cont
+            if decontam_mode == "drop":
+                def drop_marked(t: pa.Table) -> pa.Table:
+                    t = t.filter(pc.invert(t["contaminated"]))
+                    return t.drop_columns(["contamination", "contaminated"])
+
+                curated = marked.map_batches(drop_marked, batch_format="pyarrow")
+            else:
+                curated = marked
         curated.write_parquet(curated_dir)
         kept = rd.read_parquet(curated_dir).count()
     out = {
@@ -241,6 +361,7 @@ def run_training_pipeline(
         "n_dropped": total - kept,
         "stage1_waves": s1["waves"],
         "stage1_rows": s1["rows"],
+        **gates,
     }
     if near_dedup:
         out["n_final"] = _stage3_near_dedup(curated_dir, os.path.join(out_dir, "final"))
