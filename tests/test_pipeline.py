@@ -266,6 +266,26 @@ def test_retain_recent(ray_session, tiny_pages_dir, tmp_path_factory):
     assert summary2["retained_rows"] == limit and summary2["dropped_rows"] == 0
 
 
+def test_q_retention_store_matches_duckdb(ray_session):
+    """The q_retention_store registry entry (documents → store →
+    retain_recent(50) → manifest read-back) matches its exact DuckDB
+    oracle at sf0.001."""
+    import duckdb
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.pipelines.queries import (
+        _RETENTION_STORE_SQL,
+        q_retention_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_retention_store(sf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(_RETENTION_STORE_SQL).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
 def test_rewrite_store_gc_reclaims_crash_orphans(
     ray_session, tiny_pages_dir, tmp_path_factory
 ):

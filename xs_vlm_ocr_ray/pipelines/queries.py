@@ -1657,6 +1657,64 @@ def q_results_store(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_retention_store(sf_dir: str) -> pd.DataFrame:
+    """O3 top-N retention as a STORE operation with an exact SQL oracle
+    (VERDICT r3 #5): ingest the ``documents`` table into a results
+    store through the wave/manifest machinery (``run_extract`` with a
+    ``ds_builder`` adding the writer-contract columns), run
+    ``retain_recent(50)`` — the reference's ``DELETE WHERE id NOT IN
+    (... ORDER BY ts DESC LIMIT N)``, HistoryManager.cpp:330-363, as an
+    atomic manifest-repointing store rewrite — and read the survivors
+    back through the manifest.
+
+    The documents file's physical row order is doc_id-ascending, so
+    lineage order (shard_id, row_idx) == doc_id order and DuckDB's
+    ``ORDER BY doc_id DESC LIMIT 50`` is an exact oracle;
+    ``content_hash`` is md5(utf-8 text) in both engines. The store is
+    rebuilt fresh under /tmp per call — retention MUTATES it."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .extract import read_results, retain_recent, run_extract
+
+    out = tempfile.mkdtemp(prefix="xs_retention_store_")
+    try:
+
+        def builder(paths, skip):
+            from ..sources.pages import read_pages
+
+            ds = read_pages(paths, columns=["doc_id", "text"], skip_shards=skip)
+
+            def add_contract(t: pa.Table) -> pa.Table:
+                md5s = [
+                    hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                    for x in t["text"].to_pylist()
+                ]
+                n = t.num_rows
+                return (
+                    t.append_column("success", pa.array([True] * n))
+                    .append_column("processing_ms", pa.array([0] * n, pa.int64()))
+                    .append_column("content_hash", pa.array(md5s, pa.string()))
+                )
+
+            return ds.map_batches(add_contract, batch_format="pyarrow")
+
+        run_extract(_p(sf_dir, "documents"), out, resume=False, ds_builder=builder)
+        retain_recent(out, 50)
+        df = read_results(out, columns=["doc_id", "content_hash"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_RETENTION_STORE_SQL = """
+SELECT doc_id, md5(text) AS content_hash
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id DESC LIMIT 50)
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registries
 
@@ -1686,7 +1744,7 @@ QUERIES = {
     "q_orders_join_shuffle": q_orders_join_shuffle,
     "q_top_orders": q_top_orders,
     "q_events_approx_users": q_events_approx_users,
-    "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_retention_store": q_retention_store,
     "q_filtered_count": q_filtered_count,
     "q_history_page": q_history_page,
     "q_history_page2": q_history_page2,
@@ -1718,12 +1776,15 @@ QUERIES = {
     "q_media_audio_features": q_media_audio_features,
 }
 # Registry swaps this round (the cap is exactly 50 — see above):
-# q_events_sample, q_doc_simhash, q_media_video_frames moved OUT of the
-# registry (still implemented + pytest-gated: sampling is trivial, the
+# q_events_sample, q_doc_simhash, q_media_video_frames moved OUT in
+# round 3 (still implemented + pytest-gated: sampling is trivial, the
 # simhash kernel is evidenced by q_doc_simhash_neardup, the video path
 # by the image/audio rows + stub-codec tests) to make room for
 # oracle-checked q_domain_stats / q_neardup_clusters and the
-# embed→ANN pipeline row q_text_embed_ann.
+# embed→ANN pipeline row q_text_embed_ann. Round 4: q_ann_ivf_topk OUT
+# (rows-only; duplicated q_ann_lsh_topk's evidence — the IVF kernel
+# stays pytest-gated with a recall bound in tests/test_sketch.py) for
+# the oracle-checked store-ops row q_retention_store.
 
 ORACLE_SQL = {
     "q1_lineitem_agg": _Q1_SQL,
@@ -1742,6 +1803,7 @@ ORACLE_SQL = {
     "q_history_page2": _HISTORY_PAGE2_SQL,
     "q_top1_per_key": _TOP1_SQL,
     "q_retention_topn": _RETENTION_SQL,
+    "q_retention_store": _RETENTION_STORE_SQL,
     "q_point_lookup": _POINT_LOOKUP_SQL,
     "q_events_window_daily": _WINDOW_DAILY_SQL,
     "q_events_sessions": _SESSIONS_SQL,
