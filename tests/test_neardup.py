@@ -409,6 +409,25 @@ def test_verify_pairs_ds_rejects_counter_columns(docs_ds, ray_session):
         verify_pairs_jaccard_ds(docs_ds, bad)
 
 
+def test_verify_pairs_ds_warns_on_foreign_lineage(docs_ds, ray_session, caplog):
+    """A pair referencing an id with no docs_ds row drops at the inner
+    merge — the shortfall is counted and logged, never silent."""
+    import logging
+
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import verify_pairs_jaccard_ds
+
+    ids = docs_ds.to_pandas()["doc_id"]
+    a, missing = int(ids.iloc[0]), int(ids.max()) + 10_000
+    foreign = rd.from_pandas(pd.DataFrame({"a": [a], "b": [missing]}))
+    with caplog.at_level(logging.WARNING, logger="xs_vlm_ocr_ray.stages.dedup"):
+        out = verify_pairs_jaccard_ds(docs_ds, foreign, threshold=0.0).to_pandas()
+    assert len(out) == 0  # the foreign pair dropped
+    assert any("1 candidate id(s) have no row" in r.message for r in caplog.records)
+
+
 def test_embedding_pairs_ds_both_routes(ray_session):
     """embedding_neardup_pairs_ds == the driver wrapper on BOTH routes
     (brute-force broadcast matmul, and LSH-bucketed forced via

@@ -38,8 +38,11 @@ def _annotate(t: pa.Table) -> pa.Table:
     # vectorized Arrow kernels for lang/quality/tokens (the per-doc
     # Python loops were ~75% of this stage's CPU — see
     # functions/textstats.annotate_batch, pytest-gated byte-compatible
-    # with the per-doc reference kernels); md5 stays a per-doc loop
-    # (hashlib releases the GIL-free C path, ~5% of the stage)
+    # with the per-doc reference kernels); md5 stays a per-doc loop BY
+    # MEASUREMENT: OpenSSL md5 at ~420 MB/s/core incl. the utf-8
+    # encode beats pandas' vectorized hash on the same docs (~2×), no
+    # Arrow md5 kernel exists, and the stage share is ~5% (see
+    # stages/dedup.add_text_hash for the numbers)
     ann = annotate_batch(t["extracted_text"])
     md5 = hashlib.md5
     thash = [
