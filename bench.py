@@ -247,9 +247,19 @@ def run_store_ops() -> dict:
     n_rows = read_pages_simple(pages_dir, columns=["url"]).count()
     out = f"/tmp/xs_bench_store_{NUM_CPUS}"
     shutil.rmtree(out, ignore_errors=True)
+    # ingest with a small dynamic-block target so each shard lands as
+    # MANY small files — the fragmentation a long-running multi-wave
+    # store (or one with multi-row-group shards) degrades into, i.e.
+    # the input shape compaction exists for. Restored afterwards.
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 256 * 1024
     t0 = time.perf_counter()
     run_extract(pages_dir, out, resume=False, wave_shards=8)
     ingest_s = round(time.perf_counter() - t0, 3)
+    ctx.target_max_block_size = saved
 
     t0 = time.perf_counter()
     c = compact_results(out)

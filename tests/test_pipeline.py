@@ -266,6 +266,52 @@ def test_retain_recent(ray_session, tiny_pages_dir, tmp_path_factory):
     assert summary2["retained_rows"] == limit and summary2["dropped_rows"] == 0
 
 
+def test_compact_results_merges_fragmented_shards(
+    ray_session, tiny_pages_dir, tmp_path_factory
+):
+    """The per-shard local compaction path (round 4: no shuffle) merges
+    a store with MANY files per shard into one file per shard, byte-
+    preserving rows and manifest stats/checksums."""
+    import os
+
+    from ray.data import DataContext
+
+    from xs_vlm_ocr_ray.pipelines.extract import (
+        compact_results,
+        read_results,
+        run_extract,
+    )
+    from xs_vlm_ocr_ray.state.manifest import load_manifest
+
+    out = str(tmp_path_factory.mktemp("frag") / "out")
+    ctx = DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # tiny blocks → many files/shard
+    try:
+        run_extract(tiny_pages_dir, out, wave_shards=2)
+    finally:
+        ctx.target_max_block_size = saved
+    man_before = load_manifest(out)
+    before = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+
+    summary = compact_results(out)
+    assert summary["files_before"] > len(man_before)  # actually fragmented
+    n_nonempty = sum(1 for r in man_before.values() if r["n_rows"] > 0)
+    assert summary["files_after"] == n_nonempty  # one file per shard now
+
+    after = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(after, before[after.columns])
+    man_after = load_manifest(out)
+    for sid, rec in man_before.items():
+        for k in ("n_rows", "n_success", "n_error", "hash_xor", "row_min", "row_max"):
+            assert man_after[sid][k] == rec[k], (sid, k)
+    # second compaction over an already-compact store is a no-op rewrite
+    again = compact_results(out)
+    assert again["files_after"] == again["files_before"] == n_nonempty
+
+
 def test_q_retention_store_matches_duckdb(ray_session):
     """The q_retention_store registry entry (documents → store →
     retain_recent(50) → manifest read-back) matches its exact DuckDB

@@ -380,14 +380,91 @@ def preload_recent(
     return out
 
 
-def compact_results(out_dir: str) -> dict:
-    """Compact the results store: rewrite every manifested shard's row
-    slices into a fresh ``compact-NNNNNN`` wave directory with one
-    parquet file per shard per sorted block (one file per shard at
-    typical shard sizes; a multi-GB shard splits across a few large
-    files rather than materializing whole in one worker), atomically
-    repoint the manifest, then drop the wave directories nothing
-    references anymore.
+class _CompactShard:
+    """Per-shard compaction kernel: one work item (shard + its file
+    list) in → that shard's rows rewritten as ≤ ``rows_per_file``-row
+    files in the new wave dir, stats rows out. Streams the input files
+    row-group-wise, so a multi-GB shard never materializes whole in the
+    task; writing goes through ``_ShardWriter`` so names, stats and
+    checksums follow the exact same contract as the original write."""
+
+    def __init__(self, tmp_dir: str, rows_per_file: int):
+        self.tmp_dir = tmp_dir
+        self.rows_per_file = rows_per_file
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        writer = _ShardWriter(self.tmp_dir)
+        stats: list[pa.Table] = []
+        for item in batch.to_pylist():
+            buf: list = []
+            n = 0
+            for f in item["files"]:
+                for rb in pq.ParquetFile(f).iter_batches(
+                    batch_size=self.rows_per_file
+                ):
+                    buf.append(rb)
+                    n += rb.num_rows
+                    if n >= self.rows_per_file:
+                        stats.append(writer(pa.Table.from_batches(buf)))
+                        buf, n = [], 0
+            if n:
+                stats.append(writer(pa.Table.from_batches(buf)))
+        if not stats:
+            # typed empty stats table (same schema _ShardWriter emits)
+            return pa.table(
+                {
+                    "shard_id": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_success": pa.array([], pa.int64()),
+                    "processing_ms": pa.array([], pa.int64()),
+                    "hash_xor": pa.array([], pa.string()),
+                    "row_min": pa.array([], pa.int64()),
+                    "row_max": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(stats)
+
+
+def _shard_file_lists(out_dir: str, man: dict) -> dict[int, list[str]]:
+    """Per-shard parquet file lists from the manifest (the same
+    (wave name, shard id parsed from ``part-s<sid>-r<row>``)
+    authorization as ``read_results``), each sorted by first-row
+    offset. Every file in an authorized store parses — the writer owns
+    the naming contract."""
+    import re
+
+    name_re = re.compile(r"part-s(\d+)-r(\d+)\.parquet$")
+    results_dir = os.path.join(out_dir, "results")
+    by_shard: dict[int, list[tuple[int, str]]] = {}
+    authorized = {
+        (os.path.basename(rec["wave_dir"]), sid) for sid, rec in man.items()
+    }
+    for wd_name in sorted({os.path.basename(r["wave_dir"]) for r in man.values()}):
+        wd = os.path.join(results_dir, wd_name)
+        if not os.path.isdir(wd):  # zero-row-only record target
+            continue
+        for f in sorted(os.listdir(wd)):
+            m = name_re.match(f)
+            if m is None:
+                continue
+            sid = int(m.group(1))
+            if (wd_name, sid) in authorized:
+                by_shard.setdefault(sid, []).append(
+                    (int(m.group(2)), os.path.join(wd, f))
+                )
+    return {
+        sid: [p for _, p in sorted(pairs)] for sid, pairs in by_shard.items()
+    }
+
+
+def compact_results(out_dir: str, rows_per_file: int = 100_000) -> dict:
+    """Compact the results store: rewrite every manifested shard into a
+    fresh ``compact-NNNNNN`` wave directory with one parquet file per
+    shard per ``rows_per_file`` rows (one file per shard at typical
+    shard sizes), atomically repoint the manifest, then drop the wave
+    directories nothing references anymore.
 
     Why: a long-running store accumulates one file per (shard, task
     batch) across many waves — at 100 TB that is millions of small
@@ -395,20 +472,44 @@ def compact_results(out_dir: str) -> dict:
     files keep the ``part-s<sid>-r<row>`` naming contract, so
     ``read_results``' manifest/file pruning keeps working unchanged.
 
-    Plan: one authorized read of the store → lineage sort (a full
-    rewrite is inherently an all-to-all; this is the compaction's one
-    shuffle, and Ray's sort keeps block memory bounded) → per-block
-    shard-run files + stats rows → rename the wave into place →
-    rewrite ALL shard records (zero-row shards repoint too, so no
-    record references a dead directory) → delete unreferenced wave
-    dirs. Crash-safety and the single-writer contract are documented
-    on ``_rewrite_store``.
+    Plan (round 4: NO shuffle — the previous lineage-sort plan paid a
+    full all-to-all of every column, measured 3× the ingest cost at
+    sf0.1): a shard's files hold disjoint row ranges by construction
+    (one task per row group, deterministic names), so compaction is
+    embarrassingly parallel — ONE task per shard streams its file list
+    and rewrites it locally (``_CompactShard``), never moving a row
+    between workers. Then: rename the wave into place → rewrite ALL
+    shard records (zero-row shards repoint too, so no record
+    references a dead directory) → delete unreferenced wave dirs.
+    Crash-safety and the single-writer contract are documented on
+    ``_rewrite_store``, whose begin/finish halves this shares.
     """
     out_dir = os.path.abspath(out_dir)
     man = load_manifest(out_dir)
     if not man:
         return {"compacted_shards": 0, "files_before": 0, "files_after": 0}
-    return _rewrite_store(out_dir, man, read_results(out_dir))
+    files = _shard_file_lists(out_dir, man)
+    tmp_dir, wave_dir, files_before, old_dirs = _begin_rewrite(out_dir, man)
+    items = [
+        {"shard_id": sid, "files": files.get(sid, [])}
+        for sid in sorted(man)
+        if files.get(sid)  # zero-row shards: record-only repoint below
+    ]
+    if items:
+        partials = (
+            rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(
+                _CompactShard(tmp_dir, rows_per_file), batch_format="pyarrow"
+            )
+            .to_pandas()
+        )
+    else:
+        import pandas as pd
+
+        partials = pd.DataFrame({"shard_id": []})
+    return _finish_rewrite(
+        out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs
+    )
 
 
 def retain_recent(out_dir: str, limit: int) -> dict:
@@ -474,26 +575,10 @@ def retain_recent(out_dir: str, limit: int) -> dict:
     }
 
 
-def _rewrite_store(
-    out_dir: str, man: dict, ds: rd.Dataset, rows_per_file: int = 100_000
-) -> dict:
-    """Shared atomic store-rewrite tail (compaction / retention): write
-    ``ds`` sorted by lineage into a fresh ``compact-NNNNNN`` wave (one
-    file per shard per sorted block — bounded task memory; a multi-GB
-    shard never materializes whole in one worker), repoint EVERY
-    manifest record (shards absent from ``ds`` get zero-row records —
-    no record may reference a dead directory), then delete
-    unreferenced wave dirs.
-
-    Crash-safe under the SINGLE-WRITER contract (store mutations —
-    run_extract, compaction, retention — are exclusive, like writes to
-    the reference's SQLite store; readers holding a pre-rewrite
-    manifest must re-load after a rewrite, since old wave dirs are
-    reclaimed): temp dirs are ignored by readers, record rewrites are
-    per-shard atomic, cleanup runs only after all records point at the
-    new wave, and any orphan left by a previous crash — a ``.tmp-*``
-    dir, or a renamed wave no manifest record references (crash between
-    rename and record rewrite) — is garbage-collected on entry."""
+def _begin_rewrite(out_dir: str, man: dict) -> tuple[str, str, int, set[str]]:
+    """Entry half of an atomic store rewrite: garbage-collect crash
+    orphans, count files, create the next ``.tmp-compact-NNNNNN`` dir.
+    Returns (tmp_dir, wave_dir, files_before, old_dirs)."""
     import re
     import shutil
 
@@ -530,20 +615,20 @@ def _rewrite_store(
     wave_dir = os.path.join(results_dir, wave_name)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
+    return tmp_dir, wave_dir, files_before, old_dirs
 
-    # lineage sort co-locates each shard's rows in contiguous sorted
-    # blocks; batch_size coalesces the sort's (possibly many small)
-    # output blocks into bounded batches WITHOUT reordering, and the
-    # writer splits each batch at shard boundaries — every file holds
-    # exactly one shard (the filename-pruning contract) and no task
-    # ever holds more than ``rows_per_file`` rows
-    partials = (
-        ds.sort(["shard_id", "row_idx"])
-        .map_batches(
-            _ShardWriter(tmp_dir), batch_format="pyarrow", batch_size=rows_per_file
-        )
-        .to_pandas()
-    )
+
+def _finish_rewrite(
+    out_dir: str, man: dict, tmp_dir: str, wave_dir: str, partials,
+    files_before: int, old_dirs: set[str],
+) -> dict:
+    """Commit half of an atomic store rewrite: rename the wave into
+    place, repoint EVERY manifest record (shards absent from
+    ``partials`` get zero-row records — no record may reference a dead
+    directory), then delete unreferenced wave dirs."""
+    import shutil
+
+    results_dir = os.path.join(out_dir, "results")
     os.replace(tmp_dir, wave_dir)
     shard_paths = {sid: rec["path"] for sid, rec in man.items()}
     _manifest_from_partials(
@@ -564,6 +649,41 @@ def _rewrite_store(
             1 for f in os.listdir(wave_dir) if f.endswith(".parquet")
         ),
     }
+
+
+def _rewrite_store(
+    out_dir: str, man: dict, ds: rd.Dataset, rows_per_file: int = 100_000
+) -> dict:
+    """Shared atomic store-rewrite tail for DATASET-shaped rewrites
+    (retention's row-filtered read): stream ``ds`` straight into the
+    fresh ``compact-NNNNNN`` wave — NO shuffle (round 4: the previous
+    lineage sort was a full all-to-all of every column; since every
+    input file is single-shard and filenames are derived from (shard,
+    first-row), the writer's shard-run split keeps the naming contract
+    without global order). ``batch_size`` coalesces small blocks into
+    bounded batches, so no task holds more than ``rows_per_file`` rows;
+    a batch spanning several shards just writes one file per shard run
+    (a later ``compact_results`` merges them shard-local if file count
+    matters).
+
+    Crash-safe under the SINGLE-WRITER contract (store mutations —
+    run_extract, compaction, retention — are exclusive, like writes to
+    the reference's SQLite store; readers holding a pre-rewrite
+    manifest must re-load after a rewrite, since old wave dirs are
+    reclaimed): temp dirs are ignored by readers, record rewrites are
+    per-shard atomic, cleanup runs only after all records point at the
+    new wave, and any orphan left by a previous crash — a ``.tmp-*``
+    dir, or a renamed wave no manifest record references (crash between
+    rename and record rewrite) — is garbage-collected on entry
+    (``_begin_rewrite`` / ``_finish_rewrite``, shared with the
+    per-shard ``compact_results`` path)."""
+    tmp_dir, wave_dir, files_before, old_dirs = _begin_rewrite(out_dir, man)
+    partials = ds.map_batches(
+        _ShardWriter(tmp_dir), batch_format="pyarrow", batch_size=rows_per_file
+    ).to_pandas()
+    return _finish_rewrite(
+        out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs
+    )
 
 
 class _ShardWriter:
