@@ -44,7 +44,8 @@ def main(argv: list[str] | None = None) -> int:
                          "EXCLUSIVE-WRITER: compaction garbage-collects every "
                          "store directory the manifest does not reference — "
                          "never run it while another process is writing the "
-                         "same store (see DEPLOY.md)")
+                         "same store; a .writer.lock in the store root "
+                         "enforces this (StoreLockedError; see DEPLOY.md)")
     ap.add_argument("--near-dedup", action="store_true",
                     help="training pipeline: add the MinHash near-dup stage 3")
     ap.add_argument("--max-per-domain", type=int, default=None,

@@ -312,6 +312,59 @@ def test_compact_results_merges_fragmented_shards(
     assert again["files_after"] == again["files_before"] == n_nonempty
 
 
+def test_store_writer_lock(ray_session, tiny_pages_dir, tmp_path_factory):
+    """The single-writer contract is enforced, not just documented: a
+    live or foreign-host lock blocks every store mutation; a stale lock
+    from a dead same-host pid is reclaimed (crashed writers must not
+    brick the store); a clean run releases the lock."""
+    import json
+    import os
+    import subprocess
+
+    import pytest
+
+    from xs_vlm_ocr_ray.pipelines.extract import (
+        StoreLockedError,
+        compact_results,
+        retain_recent,
+        run_extract,
+    )
+
+    out = str(tmp_path_factory.mktemp("lock") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=2)
+    lock = os.path.join(out, ".writer.lock")
+    assert not os.path.exists(lock)  # released after a clean run
+
+    # a live same-host writer (this very process) blocks all mutators
+    import socket
+
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname()}, f)
+    for op in (
+        lambda: run_extract(tiny_pages_dir, out),
+        lambda: compact_results(out),
+        lambda: retain_recent(out, 10),
+    ):
+        with pytest.raises(StoreLockedError):
+            op()
+    assert os.path.exists(lock)  # a refused acquire never unlinks
+
+    # a foreign-host lock is never presumed stale
+    with open(lock, "w") as f:
+        json.dump({"pid": 1, "host": "some-other-node"}, f)
+    with pytest.raises(StoreLockedError):
+        compact_results(out)
+
+    # a dead same-host pid is a crash leftover: reclaimed transparently
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    with open(lock, "w") as f:
+        json.dump({"pid": p.pid, "host": socket.gethostname()}, f)
+    summary = compact_results(out)
+    assert summary["compacted_shards"] > 0
+    assert not os.path.exists(lock)
+
+
 def test_q_retention_store_matches_duckdb(ray_session):
     """The q_retention_store registry entry (documents → store →
     retain_recent(50) → manifest read-back) matches its exact DuckDB

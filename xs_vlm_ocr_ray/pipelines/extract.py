@@ -18,6 +18,7 @@ a single-wave run is fully streaming with one checkpoint at the end.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 import time
 
@@ -103,6 +104,73 @@ def default_pool_size() -> int:
     return max(2, cpus - 2)
 
 
+class StoreLockedError(RuntimeError):
+    """The results store's writer lock is held by another live process."""
+
+
+@_contextlib.contextmanager
+def store_writer_lock(out_dir: str):
+    """Best-effort enforcement of the store's SINGLE-WRITER contract.
+
+    Store mutations — ``run_extract``, ``compact_results``,
+    ``retain_recent`` — are exclusive (a rewrite garbage-collects wave
+    directories a concurrent extract may be mid-way through renaming
+    into place). The reference gets this for free from SQLite's write
+    lock on the history DB (src/managers/HistoryManager.cpp); a
+    directory-of-parquet store needs its own: a ``.writer.lock`` file
+    in the store root, created with ``O_EXCL``, holding the owner's
+    ``{pid, host}``.
+
+    A conflicting lock whose pid is dead ON THIS HOST is reclaimed
+    (crashed writers leave stale locks; the kill-9/resume drive relies
+    on this). A conflicting live or foreign-host lock raises
+    :class:`StoreLockedError` — foreign-pid liveness can't be probed
+    across nodes on a shared filesystem, so a genuinely stale foreign
+    lock needs manual removal (the error says so). Advisory only:
+    Ray worker tasks never touch the lock, only the driver process
+    mutating the store."""
+    import json
+    import socket
+
+    path = os.path.join(out_dir, ".writer.lock")
+    me = {"pid": os.getpid(), "host": socket.gethostname()}
+    for attempt in (0, 1):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(me))
+            break
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    held = json.loads(f.read() or "{}")
+            except (OSError, ValueError):
+                held = {}
+            stale = False
+            if held.get("host") == me["host"] and isinstance(held.get("pid"), int):
+                try:
+                    os.kill(held["pid"], 0)
+                except ProcessLookupError:
+                    stale = True
+                except PermissionError:
+                    pass  # alive, not ours
+            if stale and attempt == 0:
+                with _contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+                continue
+            raise StoreLockedError(
+                f"results store {out_dir!r} is locked by writer "
+                f"{held or '<unreadable lock>'} ({path}). Store mutations are "
+                "single-writer (DEPLOY.md); if that process is truly gone "
+                "(e.g. it ran on another node), delete the lock file manually."
+            )
+    try:
+        yield
+    finally:
+        with _contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+
+
 def run_extract(
     sf_dir: str,
     out_dir: str,
@@ -136,6 +204,18 @@ def run_extract(
     # cwd differs from the driver's — a relative out_dir would scatter
     # files under the workers' cwd and leave the renamed wave dir empty
     out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    with store_writer_lock(out_dir):
+        return _run_extract_locked(
+            sf_dir, out_dir, engine_cls, engine_kwargs, concurrency,
+            batch_size, resume, wave_shards, max_waves, ds_builder,
+        )
+
+
+def _run_extract_locked(
+    sf_dir, out_dir, engine_cls, engine_kwargs, concurrency,
+    batch_size, resume, wave_shards, max_waves, ds_builder,
+) -> dict:
     paths = list_shards(sf_dir)
     done = completed_shards(out_dir) if resume else set()
     pending = [sid for sid in range(len(paths)) if sid not in done]
@@ -485,31 +565,32 @@ def compact_results(out_dir: str, rows_per_file: int = 100_000) -> dict:
     ``_rewrite_store``, whose begin/finish halves this shares.
     """
     out_dir = os.path.abspath(out_dir)
-    man = load_manifest(out_dir)
-    if not man:
-        return {"compacted_shards": 0, "files_before": 0, "files_after": 0}
-    files = _shard_file_lists(out_dir, man)
-    tmp_dir, wave_dir, files_before, old_dirs = _begin_rewrite(out_dir, man)
-    items = [
-        {"shard_id": sid, "files": files.get(sid, [])}
-        for sid in sorted(man)
-        if files.get(sid)  # zero-row shards: record-only repoint below
-    ]
-    if items:
-        partials = (
-            rd.from_items(items, override_num_blocks=len(items))
-            .map_batches(
-                _CompactShard(tmp_dir, rows_per_file), batch_format="pyarrow"
+    with store_writer_lock(out_dir):
+        man = load_manifest(out_dir)
+        if not man:
+            return {"compacted_shards": 0, "files_before": 0, "files_after": 0}
+        files = _shard_file_lists(out_dir, man)
+        tmp_dir, wave_dir, files_before, old_dirs = _begin_rewrite(out_dir, man)
+        items = [
+            {"shard_id": sid, "files": files.get(sid, [])}
+            for sid in sorted(man)
+            if files.get(sid)  # zero-row shards: record-only repoint below
+        ]
+        if items:
+            partials = (
+                rd.from_items(items, override_num_blocks=len(items))
+                .map_batches(
+                    _CompactShard(tmp_dir, rows_per_file), batch_format="pyarrow"
+                )
+                .to_pandas()
             )
-            .to_pandas()
-        )
-    else:
-        import pandas as pd
+        else:
+            import pandas as pd
 
-        partials = pd.DataFrame({"shard_id": []})
-    return _finish_rewrite(
-        out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs
-    )
+            partials = pd.DataFrame({"shard_id": []})
+        return _finish_rewrite(
+            out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs
+        )
 
 
 def retain_recent(out_dir: str, limit: int) -> dict:
@@ -527,12 +608,17 @@ def retain_recent(out_dir: str, limit: int) -> dict:
     manifest record — resume semantics are 'processed, retained zero
     rows', never 'pending', exactly like the reference not re-OCRing
     purged history."""
-    import numpy as np
-    import pyarrow.compute as pc
-
     if limit < 1:
         raise ValueError(f"retention limit must be >= 1 (got {limit})")
     out_dir = os.path.abspath(out_dir)
+    with store_writer_lock(out_dir):
+        return _retain_recent_locked(out_dir, limit)
+
+
+def _retain_recent_locked(out_dir: str, limit: int) -> dict:
+    import numpy as np
+    import pyarrow.compute as pc
+
     man = load_manifest(out_dir)
     if not man:
         return {"retained_rows": 0, "dropped_rows": 0}
