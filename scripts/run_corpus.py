@@ -101,9 +101,12 @@ def main(argv: list[str] | None = None) -> int:
     blocklist = None
     if args.blocklist is not None:
         with open(args.blocklist) as f:
+            # '#' starts a comment anywhere on the line (hosts-file
+            # style) — a trailing "domain  # why" must yield 'domain',
+            # not a garbage entry that silently matches nothing
             blocklist = [
-                line.strip() for line in f
-                if line.strip() and not line.lstrip().startswith("#")
+                entry for line in f
+                if (entry := line.split("#", 1)[0].strip())
             ]
 
     decontam_texts = None

@@ -50,7 +50,10 @@ def test_run_corpus_training_gates(ray_session, tiny_pages_dir, tmp_path):
     bdir.mkdir()
     pq.write_table(pa.table({"text": [bench_text]}), bdir / "bench.parquet")
     bl = tmp_path / "blocklist.txt"
-    bl.write_text("# spam domains\n*.site0.example\n\n")
+    # hosts-file style: whole-line comment, wildcard entry with a
+    # TRAILING inline comment (must parse to the bare domain, review
+    # r4), and a blank line
+    bl.write_text("# spam domains\n*.site0.example  # seo farm\n\n")
 
     out = subprocess.run(
         [

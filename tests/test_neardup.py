@@ -428,6 +428,28 @@ def test_verify_pairs_ds_warns_on_foreign_lineage(docs_ds, ray_session, caplog):
     assert any("1 candidate id(s) have no row" in r.message for r in caplog.records)
 
 
+def test_embedding_pairs_ds_empty_input(ray_session):
+    """Zero-row input takes the brute route (0 ≤ max_rows_bruteforce)
+    and must return a TYPED empty (a, b, sim) dataset — np.stack over
+    no vectors would raise (review r4)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import embedding_neardup_pairs_ds
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = embedding_neardup_pairs_ds(empty, threshold=0.4)
+    assert out.count() == 0
+    assert out.schema().names == ["a", "b", "sim"]
+
+
 def test_embedding_pairs_ds_both_routes(ray_session):
     """embedding_neardup_pairs_ds == the driver wrapper on BOTH routes
     (brute-force broadcast matmul, and LSH-bucketed forced via

@@ -311,6 +311,20 @@ def test_compact_results_merges_fragmented_shards(
     again = compact_results(out)
     assert again["files_after"] == again["files_before"] == n_nonempty
 
+    # rows_per_file is a HARD per-file bound (a tail row group landing
+    # on a nearly-full buffer must split, not double the bound)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    compact_results(out, rows_per_file=30)
+    files = glob.glob(os.path.join(out, "results", "*", "*.parquet"))
+    assert files and all(
+        pq.ParquetFile(f).metadata.num_rows <= 30 for f in files
+    )
+    final = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(final, before[final.columns])
+
 
 def test_store_writer_lock(ray_session, tiny_pages_dir, tmp_path_factory):
     """The single-writer contract is enforced, not just documented: a

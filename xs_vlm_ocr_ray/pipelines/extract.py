@@ -134,7 +134,7 @@ def store_writer_lock(out_dir: str):
 
     path = os.path.join(out_dir, ".writer.lock")
     me = {"pid": os.getpid(), "host": socket.gethostname()}
-    for attempt in (0, 1):
+    for attempt in range(4):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
@@ -144,6 +144,8 @@ def store_writer_lock(out_dir: str):
             try:
                 with open(path) as f:
                     held = json.loads(f.read() or "{}")
+            except FileNotFoundError:
+                continue  # holder released between our create and read — retry
             except (OSError, ValueError):
                 held = {}
             stale = False
@@ -154,9 +156,16 @@ def store_writer_lock(out_dir: str):
                     stale = True
                 except PermissionError:
                     pass  # alive, not ours
-            if stale and attempt == 0:
+            if stale:
+                # reclaim via RENAME, not unlink: rename is atomic, so of
+                # N concurrent reclaimers exactly one wins and the losers
+                # fall through to retry the create — an unconditional
+                # unlink here could delete a lock a sibling had already
+                # reclaimed AND re-acquired (two live writers)
+                claim = f"{path}.reclaim-{os.getpid()}"
                 with _contextlib.suppress(FileNotFoundError):
-                    os.unlink(path)
+                    os.rename(path, claim)
+                    os.unlink(claim)
                 continue
             raise StoreLockedError(
                 f"results store {out_dir!r} is locked by writer "
@@ -164,6 +173,11 @@ def store_writer_lock(out_dir: str):
                 "single-writer (DEPLOY.md); if that process is truly gone "
                 "(e.g. it ran on another node), delete the lock file manually."
             )
+    else:
+        raise StoreLockedError(
+            f"could not acquire {path} after repeated attempts — "
+            "another writer is churning the lock"
+        )
     try:
         yield
     finally:
@@ -484,26 +498,22 @@ class _CompactShard:
                 for rb in pq.ParquetFile(f).iter_batches(
                     batch_size=self.rows_per_file
                 ):
-                    buf.append(rb)
-                    n += rb.num_rows
-                    if n >= self.rows_per_file:
-                        stats.append(writer(pa.Table.from_batches(buf)))
-                        buf, n = [], 0
+                    # split at the exact boundary so no output file (and
+                    # no flush) ever exceeds rows_per_file rows — a
+                    # tail-of-file row group arriving on a nearly-full
+                    # buffer would otherwise double the bound
+                    while rb.num_rows:
+                        take = min(rb.num_rows, self.rows_per_file - n)
+                        buf.append(rb.slice(0, take))
+                        n += take
+                        rb = rb.slice(take)
+                        if n >= self.rows_per_file:
+                            stats.append(writer(pa.Table.from_batches(buf)))
+                            buf, n = [], 0
             if n:
                 stats.append(writer(pa.Table.from_batches(buf)))
         if not stats:
-            # typed empty stats table (same schema _ShardWriter emits)
-            return pa.table(
-                {
-                    "shard_id": pa.array([], pa.int64()),
-                    "n_rows": pa.array([], pa.int64()),
-                    "n_success": pa.array([], pa.int64()),
-                    "processing_ms": pa.array([], pa.int64()),
-                    "hash_xor": pa.array([], pa.string()),
-                    "row_min": pa.array([], pa.int64()),
-                    "row_max": pa.array([], pa.int64()),
-                }
-            )
+            return _empty_stats_table()
         return pa.concat_tables(stats)
 
 
@@ -828,17 +838,25 @@ class _ShardWriter:
                     "row_max": int(g["row_idx"].max()),
                 }
             )
-        return pa.Table.from_pylist(rows) if rows else pa.table(
-            {
-                "shard_id": pa.array([], pa.int64()),
-                "n_rows": pa.array([], pa.int64()),
-                "n_success": pa.array([], pa.int64()),
-                "processing_ms": pa.array([], pa.int64()),
-                "hash_xor": pa.array([], pa.string()),
-                "row_min": pa.array([], pa.int64()),
-                "row_max": pa.array([], pa.int64()),
-            }
-        )
+        return pa.Table.from_pylist(rows) if rows else _empty_stats_table()
+
+
+def _empty_stats_table() -> pa.Table:
+    """Typed empty per-shard stats table — the one schema every writer
+    stage (``_ShardWriter``, ``_CompactShard``) must emit on the
+    no-rows path, so ``pa.concat_tables`` / ``_manifest_from_partials``
+    never see a schema mismatch from a stale inline copy."""
+    return pa.table(
+        {
+            "shard_id": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_success": pa.array([], pa.int64()),
+            "processing_ms": pa.array([], pa.int64()),
+            "hash_xor": pa.array([], pa.string()),
+            "row_min": pa.array([], pa.int64()),
+            "row_max": pa.array([], pa.int64()),
+        }
+    )
 
 
 def _manifest_from_partials(

@@ -116,10 +116,18 @@ def build_training_ds(
     min_tokens: int = 20,
     max_per_domain: int | None = None,
     blocklist=None,
+    stage_walls: dict | None = None,
 ) -> rd.Dataset:
     """Lazy curated-dataset pipeline ([blocklist →] filter → dedup
     keeps min-lineage row per distinct extracted text → optional
-    per-site sampling cap)."""
+    per-site sampling cap).
+
+    ``stage_walls``, if given, receives the eager stages' wall times
+    (``stage1_s`` = filter chain + checkpoint, ``election_s``) — the
+    ONE copy of this plan serves both the lazy query surface and the
+    benched ``run_training_pipeline`` path, so a stage added here is
+    automatically what the pipeline executes and times."""
+    import time
 
     # exact dedup, deterministic keeper = min (shard_id, row_idx) per
     # distinct text. The naive plan — groupby(text_hash).map_groups over
@@ -144,11 +152,17 @@ def build_training_ds(
     # a hash-shuffle semi-join on the order key instead — still only
     # one full-data exchange of PRE-DEDUPED rows, the strict worst case
     # the old plan always paid.
+    t0 = time.perf_counter()
     pre = build_filtered_ds(
         sf_dir_or_paths, min_quality, min_tokens, blocklist=blocklist
     )
     mat = pre.materialize()
-    out = dedup_by_winner(mat)
+    if stage_walls is not None:
+        stage_walls["stage1_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    out = dedup_by_winner(mat)  # election runs eagerly in here
+    if stage_walls is not None:
+        stage_walls["election_s"] = round(time.perf_counter() - t0, 3)
     if max_per_domain is not None:
         # per-site sampling cap AFTER dedup (caps apply to distinct
         # content; the cap keeps the min-lineage rows per domain)
@@ -264,19 +278,14 @@ def run_training_pipeline(
         gates["n_blocked"] = _count_blocked(sf_dir_or_paths, blocklist, total)
 
     if out_dir is None:
+        # ONE copy of the plan: build_training_ds is what executes —
+        # stages added there are automatically run (and timed) here
         walls: dict[str, float] = {}
-        t0 = time.perf_counter()
-        mat = build_filtered_ds(
-            sf_dir_or_paths, min_quality, min_tokens, blocklist=blocklist
-        ).materialize()
-        walls["stage1_s"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        out = dedup_by_winner(mat)  # election runs eagerly in here
-        walls["election_s"] = round(time.perf_counter() - t0, 3)
-        if max_per_domain is not None:
-            from ..functions.urls import cap_per_domain
-
-            out = cap_per_domain(out, max_per_domain)
+        out = build_training_ds(
+            sf_dir_or_paths, min_quality, min_tokens,
+            max_per_domain=max_per_domain, blocklist=blocklist,
+            stage_walls=walls,
+        )
         t0 = time.perf_counter()
         if decontam_texts is None:
             kept = out.count()

@@ -1276,6 +1276,17 @@ def embedding_neardup_pairs_ds(
         return _embedding_neardup_bucketed_ds(
             emb_ds, threshold=threshold, vec_col=vec_col, id_col=id_col
         )
+    if n == 0:
+        # typed empty (a, b, sim) — np.stack on zero rows would raise
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     # bounded driver assembly (≤ max_rows_bruteforce rows by the route
     # condition): ids + flat matrix, immediately ray.put
