@@ -369,14 +369,26 @@ def test_store_writer_lock(ray_session, tiny_pages_dir, tmp_path_factory):
     with pytest.raises(StoreLockedError):
         compact_results(out)
 
-    # a dead same-host pid is a crash leftover: reclaimed transparently
+    # a dead same-host pid is a crash leftover: reclaimed transparently;
+    # an orphaned reclaim claim-file (crash between rename and unlink)
+    # is garbage-collected once the lock is held
     p = subprocess.Popen(["sleep", "0"])
     p.wait()
     with open(lock, "w") as f:
         json.dump({"pid": p.pid, "host": socket.gethostname()}, f)
+    orphan = lock + ".reclaim-99999"
+    with open(orphan, "w") as f:
+        f.write("{}")
+    os.utime(orphan, (0, 0))  # old mtime → eligible for GC
     summary = compact_results(out)
     assert summary["compacted_shards"] > 0
     assert not os.path.exists(lock)
+    assert not os.path.exists(orphan)
+
+    # rows_per_file < 1 must refuse, not silently zero out the store
+    # (pyarrow iter_batches(batch_size=0) yields an empty iterator)
+    with pytest.raises(ValueError):
+        compact_results(out, rows_per_file=0)
 
 
 def test_q_retention_store_matches_duckdb(ray_session):

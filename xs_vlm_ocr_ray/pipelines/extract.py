@@ -133,7 +133,10 @@ def store_writer_lock(out_dir: str):
     import socket
 
     path = os.path.join(out_dir, ".writer.lock")
-    me = {"pid": os.getpid(), "host": socket.gethostname()}
+    # ts makes each acquisition's content unique, so the reclaim
+    # re-check below can tell "still the stale lock I inspected" from
+    # "a sibling already reclaimed and re-acquired"
+    me = {"pid": os.getpid(), "host": socket.gethostname(), "ts": time.time()}
     for attempt in range(4):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -158,14 +161,31 @@ def store_writer_lock(out_dir: str):
                     pass  # alive, not ours
             if stale:
                 # reclaim via RENAME, not unlink: rename is atomic, so of
-                # N concurrent reclaimers exactly one wins and the losers
-                # fall through to retry the create — an unconditional
-                # unlink here could delete a lock a sibling had already
-                # reclaimed AND re-acquired (two live writers)
+                # N concurrent reclaimers exactly one moves the file —
+                # an unconditional unlink here could delete a lock a
+                # sibling had already reclaimed AND re-acquired. The
+                # rename alone is not enough either (it could move that
+                # sibling's FRESH lock), so re-check the claimed file's
+                # content: only the exact stale payload we inspected is
+                # discarded; anything else is restored. Residual window:
+                # a third writer creating between our steal and restore
+                # — microseconds, three concurrent writers plus a crash;
+                # the lock is an operational guard, not a correctness
+                # primitive (DEPLOY.md).
                 claim = f"{path}.reclaim-{os.getpid()}"
-                with _contextlib.suppress(FileNotFoundError):
+                try:
                     os.rename(path, claim)
-                    os.unlink(claim)
+                except FileNotFoundError:
+                    continue  # someone else reclaimed/released first
+                try:
+                    with open(claim) as f:
+                        got = json.loads(f.read() or "{}")
+                except (OSError, ValueError):
+                    got = None
+                if got == held:
+                    os.unlink(claim)  # confirmed stale — reclaimed
+                else:
+                    os.replace(claim, path)  # stole a fresh lock — put it back
                 continue
             raise StoreLockedError(
                 f"results store {out_dir!r} is locked by writer "
@@ -178,6 +198,16 @@ def store_writer_lock(out_dir: str):
             f"could not acquire {path} after repeated attempts — "
             "another writer is churning the lock"
         )
+    # holding the lock: GC claim files orphaned by a reclaimer crashing
+    # between its rename and unlink (mtime guard skips any reclaim
+    # currently in flight)
+    now = time.time()
+    for f in os.listdir(out_dir):
+        if f.startswith(".writer.lock.reclaim-"):
+            full = os.path.join(out_dir, f)
+            with _contextlib.suppress(OSError):
+                if now - os.path.getmtime(full) > 60:
+                    os.unlink(full)
     try:
         yield
     finally:
@@ -574,6 +604,11 @@ def compact_results(out_dir: str, rows_per_file: int = 100_000) -> dict:
     Crash-safety and the single-writer contract are documented on
     ``_rewrite_store``, whose begin/finish halves this shares.
     """
+    if rows_per_file < 1:
+        # iter_batches(batch_size=0) silently yields NOTHING — without
+        # this guard every shard would "compact" to zero rows and the
+        # old wave dirs holding the real data would be GC'd
+        raise ValueError(f"rows_per_file must be >= 1 (got {rows_per_file})")
     out_dir = os.path.abspath(out_dir)
     with store_writer_lock(out_dir):
         man = load_manifest(out_dir)
