@@ -391,6 +391,64 @@ def test_store_writer_lock(ray_session, tiny_pages_dir, tmp_path_factory):
         compact_results(out, rows_per_file=0)
 
 
+def test_compact_crash_mid_manifest_rewrite(
+    ray_session, tiny_pages_dir, tmp_path_factory
+):
+    """Crash BETWEEN per-shard manifest record rewrites (the one
+    rewrite state no other test pins): some records point at the new
+    compact wave, the rest still at their old waves, and BOTH
+    directories exist (GC runs only after all records repoint). Reads
+    over the mixed manifest must serve exactly the original rows, and
+    the next compaction must converge to a single wave."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from xs_vlm_ocr_ray.pipelines.extract import (
+        compact_results,
+        read_results,
+        run_extract,
+    )
+    from xs_vlm_ocr_ray.state.manifest import load_manifest, write_shard_record
+
+    out = str(tmp_path_factory.mktemp("midcrash") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=2)
+    results_dir = os.path.join(out, "results")
+    before = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+    man_old = load_manifest(out)
+    old_waves = {os.path.basename(r["wave_dir"]) for r in man_old.values()}
+    backup = str(tmp_path_factory.mktemp("midcrash") / "bak")
+    shutil.copytree(results_dir, backup)
+
+    compact_results(out)
+    # reconstruct the mid-rewrite state: restore the old wave dirs next
+    # to the compact wave, then point HALF the shard records back at
+    # their pre-compact records (per-shard record writes are atomic, so
+    # a kill mid-loop leaves exactly this mixture)
+    for wd in old_waves:
+        shutil.copytree(os.path.join(backup, wd), os.path.join(results_dir, wd))
+    rolled_back = sorted(man_old)[: len(man_old) // 2]
+    assert rolled_back  # the mixture is real
+    for sid in rolled_back:
+        write_shard_record(out, man_old[sid])
+
+    # mixed manifest reads are exact: each shard served from the one
+    # wave its record references, no dupes, no losses
+    mixed = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mixed, before[mixed.columns])
+
+    # the next rewrite converges: one wave, every record repointed,
+    # rows byte-identical
+    compact_results(out)
+    dirs = sorted(d for d in os.listdir(results_dir) if not d.startswith("."))
+    assert len(dirs) == 1 and dirs[0].startswith("compact-")
+    man_new = load_manifest(out)
+    assert {os.path.basename(r["wave_dir"]) for r in man_new.values()} == {dirs[0]}
+    final = read_results(out).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(final, before[final.columns])
+
+
 def test_q_retention_store_matches_duckdb(ray_session):
     """The q_retention_store registry entry (documents → store →
     retain_recent(50) → manifest read-back) matches its exact DuckDB
