@@ -50,12 +50,28 @@ def list_shards(path: str) -> list[str]:
 def shard_work_items(
     paths: list[str], skip_shards: frozenset[int] | set[int] = frozenset()
 ) -> list[dict]:
-    """One work item per (shard, row_group) with its absolute row offset."""
+    """One work item per (shard, row_group) with its absolute row offset.
+
+    Footer metadata is read with a thread pool — `pq.read_metadata`
+    releases the GIL, and reading serially cost ~15 ms/file (1.2 s of
+    driver time on an 80-shard corpus, 17% of the flagship wall; at
+    scale the cost is per-WAVE, since a resume run's ``skip_shards``
+    prunes to the wave's files before any footer is opened). Item
+    order stays deterministic: results are assembled in shard order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [
+        (shard_id, p)
+        for shard_id, p in enumerate(paths)
+        if shard_id not in skip_shards
+    ]
+    if not todo:
+        return []
+    with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
+        metas = list(ex.map(lambda t: pq.read_metadata(t[1]), todo))
     items: list[dict] = []
-    for shard_id, p in enumerate(paths):
-        if shard_id in skip_shards:
-            continue
-        md = pq.read_metadata(p)
+    for (shard_id, p), md in zip(todo, metas):
         row_start = 0
         for rg in range(md.num_row_groups):
             n = md.row_group(rg).num_rows
