@@ -68,23 +68,31 @@ def shard_work_items(
     ]
     if not todo:
         return []
-    with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
-        metas = list(ex.map(lambda t: pq.read_metadata(t[1]), todo))
+    # chunked: a FileMetaData with per-column statistics can be hundreds
+    # of KB — materializing every footer at once would make driver peak
+    # memory O(shards); per chunk it is O(CHUNK), and each footer is
+    # freed as soon as its work items are built
+    CHUNK = 4096
     items: list[dict] = []
-    for (shard_id, p), md in zip(todo, metas):
-        row_start = 0
-        for rg in range(md.num_row_groups):
-            n = md.row_group(rg).num_rows
-            items.append(
-                {
-                    "path": p,
-                    "shard_id": shard_id,
-                    "row_group": rg,
-                    "row_start": row_start,
-                    "num_rows": n,
-                }
-            )
-            row_start += n
+    with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
+        for start in range(0, len(todo), CHUNK):
+            chunk = todo[start : start + CHUNK]
+            for (shard_id, p), md in zip(
+                chunk, ex.map(lambda t: pq.read_metadata(t[1]), chunk)
+            ):
+                row_start = 0
+                for rg in range(md.num_row_groups):
+                    n = md.row_group(rg).num_rows
+                    items.append(
+                        {
+                            "path": p,
+                            "shard_id": shard_id,
+                            "row_group": rg,
+                            "row_start": row_start,
+                            "num_rows": n,
+                        }
+                    )
+                    row_start += n
     return items
 
 
