@@ -238,16 +238,41 @@ def test_retain_recent(ray_session, tiny_pages_dir, tmp_path_factory):
     )
     from xs_vlm_ocr_ray.state.manifest import load_manifest
 
+    import os
+
     out = str(tmp_path_factory.mktemp("retain") / "out")
     run_extract(tiny_pages_dir, out, wave_shards=2)
     before = read_results(out).to_pandas()
     man_before = load_manifest(out)
     total = len(before)
     limit = total // 2 + 7  # forces a mid-shard boundary cut
+    # inodes of the whole-kept shards' files — retention must LINK
+    # them into the new wave, not rewrite them (round 4)
+    inode_by_name = {}
+    for rec in man_before.values():
+        wd = rec["wave_dir"]
+        if os.path.isdir(wd):
+            for f in os.listdir(wd):
+                if f.endswith(".parquet"):
+                    inode_by_name[f] = os.stat(os.path.join(wd, f)).st_ino
 
     summary = retain_recent(out, limit)
     assert summary["retained_rows"] == limit
     assert summary["dropped_rows"] == total - limit
+
+    man_now = load_manifest(out)
+    linked = rewritten = 0
+    for wd in {r["wave_dir"] for r in man_now.values() if os.path.isdir(r["wave_dir"])}:
+        for f in os.listdir(wd):
+            if not f.endswith(".parquet"):
+                continue
+            ino = os.stat(os.path.join(wd, f)).st_ino
+            if inode_by_name.get(f) == ino:
+                linked += 1
+            else:
+                rewritten += 1
+    assert linked > 0  # whole-kept shards share inodes with the old wave
+    assert rewritten == 1  # exactly the boundary shard was rewritten
 
     after = read_results(out).to_pandas()
     want = before.sort_values(

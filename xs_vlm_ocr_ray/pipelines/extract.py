@@ -601,8 +601,17 @@ def compact_results(out_dir: str, rows_per_file: int = 100_000) -> dict:
     between workers. Then: rename the wave into place → rewrite ALL
     shard records (zero-row shards repoint too, so no record
     references a dead directory) → delete unreferenced wave dirs.
-    Crash-safety and the single-writer contract are documented on
-    ``_rewrite_store``, whose begin/finish halves this shares.
+    Crash-safe under the SINGLE-WRITER contract (store mutations —
+    run_extract, compaction, retention — are exclusive, enforced by
+    ``store_writer_lock``, like writes to the reference's SQLite store;
+    readers holding a pre-rewrite manifest must re-load after a
+    rewrite, since old wave dirs are reclaimed): temp dirs are ignored
+    by readers, record rewrites are per-shard atomic, cleanup runs only
+    after all records point at the new wave, and any orphan left by a
+    previous crash — a ``.tmp-*`` dir, or a renamed wave no manifest
+    record references (crash between rename and record rewrite) — is
+    garbage-collected on entry (``_begin_rewrite``/``_finish_rewrite``,
+    shared with retention).
     """
     if rows_per_file < 1:
         # iter_batches(batch_size=0) silently yields NOTHING — without
@@ -643,8 +652,9 @@ def retain_recent(out_dir: str, limit: int) -> dict:
     ``DELETE WHERE id NOT IN (... ORDER BY ts DESC LIMIT N)``,
     src/managers/HistoryManager.cpp:330-363, made partition-granular):
     keep only the newest ``limit`` result rows by lineage order
-    (shard_id, row_idx) and rewrite the store — same atomic
-    wave-rewrite machinery as ``compact_results``.
+    (shard_id, row_idx) — same atomic wave-rewrite machinery as
+    ``compact_results``, but whole-kept shards are hard-linked into
+    the new wave rather than rewritten (see ``_retain_recent_locked``).
 
     The manifest picks the cut without reading data: iterate shards
     newest-first accumulating ``n_rows``; whole shards inside the
@@ -661,7 +671,19 @@ def retain_recent(out_dir: str, limit: int) -> dict:
 
 
 def _retain_recent_locked(out_dir: str, limit: int) -> dict:
+    """Link-don't-rewrite (round 4): whole-kept shards' files are
+    HARD-LINKED into the new wave byte-unchanged (O(#files), zero data
+    movement — copy2 fallback on filesystems without links) with their
+    stats carried straight from the manifest; only the ONE boundary
+    shard is row-filtered through ``_ShardWriter``. Retention keeping
+    90% of a 100 TB store therefore costs one shard's rewrite plus
+    directory operations, not a rewrite of 90 TB. Crash-safety is the
+    shared ``_begin_rewrite``/``_finish_rewrite`` contract; linked
+    inodes survive the old wave dirs' GC by construction."""
+    import shutil
+
     import numpy as np
+    import pandas as pd
     import pyarrow.compute as pc
 
     man = load_manifest(out_dir)
@@ -680,7 +702,30 @@ def _retain_recent_locked(out_dir: str, limit: int) -> dict:
         else:
             boundary = (sid, limit - acc)
         acc += n
-    ds = read_results(out_dir, shard_ids=keep_all + ([boundary[0]] if boundary else []))
+    files = _shard_file_lists(out_dir, man)
+    tmp_dir, wave_dir, files_before, old_dirs = _begin_rewrite(out_dir, man)
+    partial_rows: list[dict] = []
+    for sid in keep_all:
+        for f in files.get(sid, []):
+            dst = os.path.join(tmp_dir, os.path.basename(f))
+            try:
+                os.link(f, dst)
+            except OSError:
+                shutil.copy2(f, dst)
+        rec = man[sid]
+        if rec["n_rows"]:
+            partial_rows.append(
+                {
+                    "shard_id": sid,
+                    "n_rows": rec["n_rows"],
+                    "n_success": rec["n_success"],
+                    "processing_ms": rec["processing_ms"],
+                    "hash_xor": rec["hash_xor"],
+                    "row_min": rec["row_min"],
+                    "row_max": rec["row_max"],
+                }
+            )
+    partials = pd.DataFrame(partial_rows or {"shard_id": []})
     if boundary is not None:
         b_sid, b_keep = boundary
         # exact per-row cut inside the boundary shard: its newest
@@ -688,16 +733,19 @@ def _retain_recent_locked(out_dir: str, limit: int) -> dict:
         b_rows = read_results(out_dir, shard_ids=[b_sid], columns=["row_idx"])
         idx = np.sort(b_rows.to_pandas()["row_idx"].to_numpy())
         cutoff = int(idx[-b_keep])
-
-        def trim(t: pa.Table) -> pa.Table:
-            drop = pc.and_(
-                pc.equal(t["shard_id"], pa.scalar(b_sid, t["shard_id"].type)),
-                pc.less(t["row_idx"], pa.scalar(cutoff, pa.int64())),
-            )
-            return t.filter(pc.invert(drop))
-
-        ds = ds.map_batches(trim, batch_format="pyarrow")
-    summary = _rewrite_store(out_dir, man, ds)
+        b_ds = read_results(out_dir, shard_ids=[b_sid]).map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["row_idx"], pa.scalar(cutoff, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        bp = b_ds.map_batches(
+            _ShardWriter(tmp_dir), batch_format="pyarrow", batch_size=100_000
+        ).to_pandas()
+        partials = pd.concat([partials, bp], ignore_index=True) if len(partials) else bp
+    summary = _finish_rewrite(
+        out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs
+    )
     retained = min(limit, total)
     return {
         "retained_rows": retained,
@@ -780,41 +828,6 @@ def _finish_rewrite(
             1 for f in os.listdir(wave_dir) if f.endswith(".parquet")
         ),
     }
-
-
-def _rewrite_store(
-    out_dir: str, man: dict, ds: rd.Dataset, rows_per_file: int = 100_000
-) -> dict:
-    """Shared atomic store-rewrite tail for DATASET-shaped rewrites
-    (retention's row-filtered read): stream ``ds`` straight into the
-    fresh ``compact-NNNNNN`` wave — NO shuffle (round 4: the previous
-    lineage sort was a full all-to-all of every column; since every
-    input file is single-shard and filenames are derived from (shard,
-    first-row), the writer's shard-run split keeps the naming contract
-    without global order). ``batch_size`` coalesces small blocks into
-    bounded batches, so no task holds more than ``rows_per_file`` rows;
-    a batch spanning several shards just writes one file per shard run
-    (a later ``compact_results`` merges them shard-local if file count
-    matters).
-
-    Crash-safe under the SINGLE-WRITER contract (store mutations —
-    run_extract, compaction, retention — are exclusive, like writes to
-    the reference's SQLite store; readers holding a pre-rewrite
-    manifest must re-load after a rewrite, since old wave dirs are
-    reclaimed): temp dirs are ignored by readers, record rewrites are
-    per-shard atomic, cleanup runs only after all records point at the
-    new wave, and any orphan left by a previous crash — a ``.tmp-*``
-    dir, or a renamed wave no manifest record references (crash between
-    rename and record rewrite) — is garbage-collected on entry
-    (``_begin_rewrite`` / ``_finish_rewrite``, shared with the
-    per-shard ``compact_results`` path)."""
-    tmp_dir, wave_dir, files_before, old_dirs = _begin_rewrite(out_dir, man)
-    partials = ds.map_batches(
-        _ShardWriter(tmp_dir), batch_format="pyarrow", batch_size=rows_per_file
-    ).to_pandas()
-    return _finish_rewrite(
-        out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs
-    )
 
 
 class _ShardWriter:
