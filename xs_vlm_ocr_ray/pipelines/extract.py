@@ -702,27 +702,34 @@ def _retain_recent_locked(out_dir: str, limit: int) -> dict:
         else:
             boundary = (sid, limit - acc)
         acc += n
+    import errno
+
     files = _shard_file_lists(out_dir, man)
     tmp_dir, wave_dir, files_before, old_dirs = _begin_rewrite(out_dir, man)
     partial_rows: list[dict] = []
+    # errnos meaning "this filesystem can't hard-link" — anything else
+    # (e.g. FileExistsError from a basename collision) must propagate,
+    # not be papered over by a silent copy2 overwrite
+    no_link = {errno.EXDEV, errno.EPERM, errno.ENOTSUP, errno.EMLINK}
     for sid in keep_all:
         for f in files.get(sid, []):
             dst = os.path.join(tmp_dir, os.path.basename(f))
             try:
                 os.link(f, dst)
-            except OSError:
+            except OSError as e:
+                if e.errno not in no_link:
+                    raise
                 shutil.copy2(f, dst)
         rec = man[sid]
         if rec["n_rows"]:
+            # stats carried from the manifest record, one value per
+            # _STATS_COLUMNS — the single schema every stats producer
+            # shares, so a new stat column fails loudly here instead of
+            # silently zero-filling whole-kept shards' records
             partial_rows.append(
                 {
-                    "shard_id": sid,
-                    "n_rows": rec["n_rows"],
-                    "n_success": rec["n_success"],
-                    "processing_ms": rec["processing_ms"],
-                    "hash_xor": rec["hash_xor"],
-                    "row_min": rec["row_min"],
-                    "row_max": rec["row_max"],
+                    k: (sid if k == "shard_id" else rec[k])
+                    for k in _STATS_COLUMNS
                 }
             )
     partials = pd.DataFrame(partial_rows or {"shard_id": []})
@@ -889,6 +896,14 @@ class _ShardWriter:
         return pa.Table.from_pylist(rows) if rows else _empty_stats_table()
 
 
+# the ONE per-shard stats schema every producer shares (_ShardWriter
+# rows, _CompactShard's empty path, retention's manifest-carried rows)
+_STATS_COLUMNS = (
+    "shard_id", "n_rows", "n_success", "processing_ms",
+    "hash_xor", "row_min", "row_max",
+)
+
+
 def _empty_stats_table() -> pa.Table:
     """Typed empty per-shard stats table — the one schema every writer
     stage (``_ShardWriter``, ``_CompactShard``) must emit on the
@@ -896,13 +911,8 @@ def _empty_stats_table() -> pa.Table:
     never see a schema mismatch from a stale inline copy."""
     return pa.table(
         {
-            "shard_id": pa.array([], pa.int64()),
-            "n_rows": pa.array([], pa.int64()),
-            "n_success": pa.array([], pa.int64()),
-            "processing_ms": pa.array([], pa.int64()),
-            "hash_xor": pa.array([], pa.string()),
-            "row_min": pa.array([], pa.int64()),
-            "row_max": pa.array([], pa.int64()),
+            c: pa.array([], pa.string() if c == "hash_xor" else pa.int64())
+            for c in _STATS_COLUMNS
         }
     )
 

@@ -71,8 +71,10 @@ def shard_work_items(
     # chunked: a FileMetaData with per-column statistics can be hundreds
     # of KB — materializing every footer at once would make driver peak
     # memory O(shards); per chunk it is O(CHUNK), and each footer is
-    # freed as soon as its work items are built
-    CHUNK = 4096
+    # freed as soon as its work items are built. 512 keeps all 32
+    # workers busy while bounding resident footers to ~tens of MB even
+    # on wide schemas
+    CHUNK = 512
     items: list[dict] = []
     with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
         for start in range(0, len(todo), CHUNK):
