@@ -73,6 +73,63 @@ def test_tumbling_window_counts(events_ds, events_df):
     assert (m["n"] == m["n_want"]).all()
 
 
+def test_drop_consecutive_ds_streams_survivors(events_ds, events_df):
+    """The Dataset form returns the identical survivor set without the
+    driver ever holding it (only the one-marker-per-bucket table is
+    collected); wrapper == _ds collected."""
+    from xs_vlm_ocr_ray.stages.window import drop_consecutive, drop_consecutive_ds
+
+    ds = drop_consecutive_ds(events_ds)
+    got = (
+        ds.to_pandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)[["event_id", "ts", "event_type"]]
+    )
+    pd.testing.assert_frame_equal(got, drop_consecutive(events_ds))
+    assert set(ds.schema().names) == {"event_id", "ts", "event_type"}
+
+
+def test_drop_consecutive_cross_bucket_boundary(ray_session):
+    """A run of equal values spanning a bucket (day) boundary collapses
+    to one survivor: the next bucket's first row must be dropped by the
+    stitch, including a chain across an intermediate single-row bucket."""
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.window import drop_consecutive
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 23:50",  # A   (keep: first)
+            "2024-01-01 23:55",  # A   (drop: within-bucket dup)
+            "2024-01-02 00:05",  # A   (drop: cross-bucket dup)
+            "2024-01-03 12:00",  # A   (drop: chain across day 2->3)
+            "2024-01-03 13:00",  # B   (keep: value change)
+            "2024-01-04 09:00",  # B   (drop: cross-bucket dup)
+            "2024-01-04 10:00",  # A   (keep: value change)
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": range(1, 8),
+            "ts": ts,
+            "event_type": ["A", "A", "A", "A", "B", "B", "A"],
+        }
+    )
+    got = drop_consecutive(rd.from_pandas(df))
+    assert list(got["event_id"]) == [1, 5, 7]
+
+
+def test_sessionize_ds_matches_wrapper(events_ds):
+    from xs_vlm_ocr_ray.stages.window import sessionize, sessionize_ds
+
+    got = (
+        sessionize_ds(events_ds)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, sessionize(events_ds))
+
+
 def test_seeded_sample_deterministic(events_ds):
     a = events_ds.random_sample(0.1, seed=42).to_pandas()
     b = events_ds.random_sample(0.1, seed=42).to_pandas()

@@ -22,8 +22,15 @@ built from Ray Data primitives with an explicit partitioning story:
   distributed plan: bucket rows by coarse time range →
   ``groupby(bucket)`` resolves all within-bucket adjacencies → the
   only unresolved comparisons are each bucket's FIRST row vs the
-  previous non-empty bucket's LAST row — one row per bucket, stitched
-  driver-side (boundary set is tiny by construction).
+  previous non-empty bucket's LAST row — one in-band marker row per
+  bucket, stitched driver-side (the boundary set is tiny by
+  construction) and applied back to the STREAMING survivor Dataset as
+  a broadcast drop-id filter.
+
+Every operator has a Dataset-returning ``*_ds`` form (the library op —
+survivors never funnel through the driver) and a DataFrame wrapper of
+the same name (the query/driver convenience, collect + deterministic
+sort).
 """
 
 from __future__ import annotations
@@ -39,15 +46,15 @@ from ray.data.aggregate import Count, Max, Min, Sum
 # --- tumbling window aggregate ------------------------------------------
 
 
-def tumbling_window_agg(
+def tumbling_window_agg_ds(
     events: rd.Dataset,
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
-) -> pd.DataFrame:
-    """Per (day, key): count + value sum/min/max. Partial per-batch
-    reduce → small groupby (one row per window×key per batch crosses
-    the shuffle)."""
+) -> rd.Dataset:
+    """Per (day, key): count + value sum/min/max, as a Dataset. Partial
+    per-batch reduce → small groupby (one row per window×key per batch
+    crosses the shuffle)."""
 
     def partial(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t[ts_col], unit="day")
@@ -64,8 +71,12 @@ def tumbling_window_agg(
         )
         return g.rename_columns(["window", key_col, "n_part", "sum_part", "min_part", "max_part"])
 
+    def round_sum(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("sum_value")
+        return t.set_column(i, "sum_value", pc.round(t["sum_value"], ndigits=2))
+
     partials = events.map_batches(partial, batch_format="pyarrow")
-    out = (
+    return (
         partials.groupby(["window", key_col])
         .aggregate(
             Sum("n_part", alias_name="n"),
@@ -73,34 +84,46 @@ def tumbling_window_agg(
             Min("min_part", alias_name="min_value"),
             Max("max_part", alias_name="max_value"),
         )
-        .to_pandas()
+        .map_batches(round_sum, batch_format="pyarrow")
     )
-    out["sum_value"] = out["sum_value"].round(2)
+
+
+def tumbling_window_agg(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """DataFrame wrapper over :func:`tumbling_window_agg_ds` (collect +
+    deterministic sort — the result is one row per window×key, small)."""
+    out = tumbling_window_agg_ds(events, ts_col, key_col, value_col).to_pandas()
     return out.sort_values(["window", key_col]).reset_index(drop=True)
 
 
 # --- gap-based sessionization -------------------------------------------
 
 
-def sessionize(
+def sessionize_ds(
     events: rd.Dataset,
     gap_seconds: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
-) -> pd.DataFrame:
-    """Per-user gap sessions: a new session starts when the time since
-    the previous event of the SAME user exceeds ``gap_seconds``.
+) -> rd.Dataset:
+    """Per-user gap sessions, as a Dataset: a new session starts when
+    the time since the previous event of the SAME user exceeds
+    ``gap_seconds``.
 
-    Returns one row per session: (user_id, session_id, n_events,
-    session_start, session_end). session_id numbers sessions per user in
-    time order starting at 0 — deterministic via the total sort key
-    (ts, event_id).
+    One row per session: (user_id, session_id, n_events, session_start,
+    session_end); session_id numbers sessions per user in time order
+    from 0 — deterministic via the total sort key (ts, event_id).
 
     Shuffle key = coarse user-hash bucket (≤ ``buckets`` groups total);
     the per-user gap logic inside each bucket is a single vectorized
     pandas pass (sort + grouped diff + cumsum), no per-user Python
-    loop."""
+    loop. Session state never crosses a bucket because a user's rows
+    always share a bucket — so there is NO driver stitch and the
+    session rows stream straight out of the groupby."""
     buckets = 4096
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -137,17 +160,114 @@ def sessionize(
         out.index.names = [user_col, "session_id"]
         return out.reset_index()
 
-    out = (
+    return (
         events.select_columns([user_col, ts_col, id_col])
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def sessionize(
+    events: rd.Dataset,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """DataFrame wrapper over :func:`sessionize_ds` (collect +
+    deterministic sort). Use the ``_ds`` form in pipelines — session
+    output is O(users) and should stream to its consumer/sink."""
+    out = sessionize_ds(events, gap_seconds, user_col, ts_col, id_col).to_pandas()
     return out.sort_values([user_col, "session_id"]).reset_index(drop=True)
 
 
 # --- consecutive-duplicate drop (D2 at scale) ---------------------------
+
+
+def drop_consecutive_ds(
+    events: rd.Dataset,
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket: str = "day",
+) -> rd.Dataset:
+    """Keep each row unless its ``value_col`` equals the immediately
+    preceding row's (global (ts, id) order) — the reference's
+    last-value clipboard dedup (D2) over a corpus — returned as a
+    STREAMING Dataset of survivors (columns: id, ts, value).
+
+    Exact two-level plan, no O(corpus) driver state:
+
+    1. bucket rows by coarse time range; ``groupby(bucket)`` resolves
+       all within-bucket adjacencies and emits, IN BAND, one marker row
+       per bucket (``_kind=1``: the bucket's first row + its last
+       value) alongside the provisional survivors (``_kind=0``);
+    2. the tagged output is checkpointed once (``materialize`` — the
+       object store spills at scale; this is what lets the marker pull
+       and the survivor filter share one execution of the shuffle);
+    3. the driver pulls ONLY the markers (one row per bucket), walks
+       them in time order, and decides which buckets' first rows fall
+       to the cross-bucket adjacency — a tiny drop-id set;
+    4. the drop-id set is applied to the survivors as a broadcast
+       ``is_in`` filter (the ``drop_neardups`` shape) — survivors
+       stream to the consumer, never through the driver.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pc.floor_temporal(t[ts_col], unit=bucket))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort")
+        prev = df[value_col].shift()
+        keep = df[value_col].ne(prev)
+        keep.iloc[0] = True  # provisional: fixed by the boundary stitch
+        out = df.loc[keep, [id_col, ts_col, value_col]].copy()
+        out["_kind"] = 0
+        # type-stable filler; only the marker row's value is read
+        out["_last_value"] = df[value_col].iloc[-1]
+        # the bucket's first row is always provisionally kept → out[0]
+        marker = out.iloc[[0]].copy()
+        marker["_kind"] = 1
+        return pd.concat([out, marker], ignore_index=True)
+
+    tagged = (
+        events.select_columns([id_col, ts_col, value_col])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    ).materialize()
+
+    markers = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["_kind"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+
+    drop_ids: list = []
+    if not markers.empty:
+        # buckets are disjoint time ranges → marker (ts, id) orders them
+        markers = markers.sort_values([ts_col, id_col], kind="mergesort")
+        prev_last = None
+        for fid, fval, lval in zip(
+            markers[id_col], markers[value_col], markers["_last_value"]
+        ):
+            if prev_last is not None and fval == prev_last:
+                drop_ids.append(fid)
+            prev_last = lval
+
+    drop_arr = pa.array(drop_ids) if drop_ids else None
+
+    def finalize(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["_kind"], 0)
+        if drop_arr is not None:
+            mask = pc.and_(
+                mask,
+                pc.invert(
+                    pc.is_in(t[id_col], value_set=pc.cast(drop_arr, t[id_col].type))
+                ),
+            )
+        return t.filter(mask).drop_columns(["_kind", "_last_value"])
+
+    return tagged.map_batches(finalize, batch_format="pyarrow")
 
 
 def drop_consecutive(
@@ -157,55 +277,10 @@ def drop_consecutive(
     id_col: str = "event_id",
     bucket: str = "day",
 ) -> pd.DataFrame:
-    """Keep each row unless its ``value_col`` equals the immediately
-    preceding row's (global (ts, id) order) — the reference's
-    last-value clipboard dedup (D2) over a corpus.
-
-    Exact two-level plan: within-bucket adjacency resolved by
-    ``groupby(time bucket)``; cross-bucket adjacency involves only each
-    bucket's first row vs the previous bucket's last row — a
-    one-row-per-bucket stitch done driver-side."""
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, id_col], kind="mergesort")
-        prev = df[value_col].shift()
-        keep = df[value_col].ne(prev)
-        keep.iloc[0] = True  # provisional: fixed by the boundary stitch
-        out = df[keep].copy()
-        # carry bucket boundary info for the stitch
-        out["_first_id"] = df[id_col].iloc[0]
-        out["_last_value"] = df[value_col].iloc[-1]
-        out["_bucket"] = df["_bucket"].iloc[0]
-        return out
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket", pc.floor_temporal(t[ts_col], unit=bucket))
-
-    bucketed = events.select_columns([id_col, ts_col, value_col]).map_batches(
-        add_bucket, batch_format="pyarrow"
-    )
-    kept = (
-        bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
-    ).to_pandas()
-    if kept.empty:
-        return kept
-    # boundary stitch: for each bucket (ordered), drop its first kept row
-    # iff its value equals the previous bucket's last value
-    info = (
-        kept.groupby("_bucket")
-        .agg(first_id=("_first_id", "first"), last_value=("_last_value", "first"))
-        .sort_index()
-    )
-    drop_ids = []
-    prev_last = None
-    first_rows = kept.set_index(id_col)
-    for b, row in info.iterrows():
-        fid = row["first_id"]
-        if prev_last is not None and fid in first_rows.index:
-            if first_rows.loc[fid, value_col] == prev_last:
-                drop_ids.append(fid)
-        prev_last = row["last_value"]
-    out = kept[~kept[id_col].isin(drop_ids)]
+    """DataFrame wrapper over :func:`drop_consecutive_ds` (collect +
+    deterministic (ts, id) sort). D2 output is corpus-sized — pipelines
+    must use the ``_ds`` form and stream it to a sink."""
+    out = drop_consecutive_ds(events, value_col, ts_col, id_col, bucket).to_pandas()
     return (
         out[[id_col, ts_col, value_col]]
         .sort_values([ts_col, id_col], kind="mergesort")
