@@ -262,9 +262,13 @@ def run_store_ops() -> dict:
     saved = ctx.target_max_block_size
     ctx.target_max_block_size = 256 * 1024
     t0 = time.perf_counter()
-    run_extract(pages_dir, out, resume=False, wave_shards=8)
+    try:
+        run_extract(pages_dir, out, resume=False, wave_shards=8)
+    finally:
+        # restore even on an ingest failure — a leaked 256 KiB target
+        # would silently skew every later stage in this process
+        ctx.target_max_block_size = saved
     ingest_s = round(time.perf_counter() - t0, 3)
-    ctx.target_max_block_size = saved
 
     t0 = time.perf_counter()
     c = compact_results(out)

@@ -418,6 +418,29 @@ def test_store_writer_lock(ray_session, tiny_pages_dir, tmp_path_factory):
     with pytest.raises(ValueError):
         compact_results(out, rows_per_file=0)
 
+    # an unreadable/empty lock (torn write, pre-link-acquire crash)
+    # blocks while fresh but is reclaimed once past the grace period —
+    # it must not brick the store forever
+    with open(lock, "w") as f:
+        f.write("")  # no pid to probe
+    with pytest.raises(StoreLockedError):
+        compact_results(out)
+    os.utime(lock, (0, 0))  # older than the 60 s grace window
+    assert compact_results(out)["files_after"] >= 0
+    assert not os.path.exists(lock)
+
+    # acquisition never leaves the lock observably empty: while a run
+    # holds it, the payload parses and names this process
+    from xs_vlm_ocr_ray.pipelines.extract import store_writer_lock
+
+    with store_writer_lock(out):
+        with open(lock) as f:
+            held = json.load(f)
+        assert held["pid"] == os.getpid()
+        assert not [
+            p for p in os.listdir(out) if p.startswith(".writer.lock.acquire-")
+        ]  # the acquire temp is cleaned up immediately
+
 
 def test_compact_crash_mid_manifest_rewrite(
     ray_session, tiny_pages_dir, tmp_path_factory

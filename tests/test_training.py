@@ -224,6 +224,17 @@ def test_training_out_dir_gates(ray_session, tiny_pages_dir, tmp_path):
     assert bench_text not in set(back["extracted_text"])
     assert "contaminated" not in back.columns  # drop mode strips audit cols
 
+    # resumed run: stage 1 is fully manifested, so no shard passes the
+    # blocklist gate this invocation — n_blocked reports 0, not the
+    # whole-input total of a previous run
+    s_again = run_training_pipeline(
+        tiny_pages_dir, out_dir=out,
+        blocklist=["site0.example"], decontam_texts=[bench_text],
+    )
+    assert s_again["stage1_waves"] == 0
+    assert s_again["n_blocked"] == 0
+    assert s_again["n_curated"] == s["n_curated"]
+
     out2 = str(tmp_path / "cur2")
     s2 = run_training_pipeline(
         tiny_pages_dir, out_dir=out2,

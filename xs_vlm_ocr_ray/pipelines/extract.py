@@ -137,13 +137,25 @@ def store_writer_lock(out_dir: str):
     # re-check below can tell "still the stale lock I inspected" from
     # "a sibling already reclaimed and re-acquired"
     me = {"pid": os.getpid(), "host": socket.gethostname(), "ts": time.time()}
-    for attempt in range(4):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(json.dumps(me))
-            break
-        except FileExistsError:
+    # acquisition = link(2) of a pre-written temp into the lock name:
+    # atomic create-with-content (link fails with EEXIST when held, like
+    # O_EXCL, but the payload is already in the inode), so the lock is
+    # never observably empty — a writer crashing between an O_EXCL
+    # create and the payload write used to leave an unparseable `{}`
+    # lock the same-host pid reclaim could never clear, bricking the
+    # store until manual removal. A corrupt lock from older code (or a
+    # torn foreign write) is still covered: unparseable AND older than
+    # a 60 s grace period → treated as stale.
+    tmp = f"{path}.acquire-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(me))
+    try:
+        for attempt in range(4):
+            try:
+                os.link(tmp, path)
+                break
+            except FileExistsError:
+                pass
             try:
                 with open(path) as f:
                     held = json.loads(f.read() or "{}")
@@ -159,6 +171,11 @@ def store_writer_lock(out_dir: str):
                     stale = True
                 except PermissionError:
                     pass  # alive, not ours
+            elif not held:
+                # unreadable/unparseable lock: no pid to probe — stale
+                # once it has sat unreadable past the grace period
+                with _contextlib.suppress(OSError):
+                    stale = time.time() - os.path.getmtime(path) > 60
             if stale:
                 # reclaim via RENAME, not unlink: rename is atomic, so of
                 # N concurrent reclaimers exactly one moves the file —
@@ -177,15 +194,23 @@ def store_writer_lock(out_dir: str):
                     os.rename(path, claim)
                 except FileNotFoundError:
                     continue  # someone else reclaimed/released first
+                # rename(2) preserves mtime — freshen it so the orphan-GC
+                # below (sibling holding the lock, 60 s mtime guard)
+                # cannot unlink a claim whose reclaim is in flight
+                with _contextlib.suppress(OSError):
+                    os.utime(claim)
                 try:
                     with open(claim) as f:
                         got = json.loads(f.read() or "{}")
+                except FileNotFoundError:
+                    continue  # GC raced us anyway — nothing left to judge
                 except (OSError, ValueError):
                     got = None
-                if got == held:
-                    os.unlink(claim)  # confirmed stale — reclaimed
-                else:
-                    os.replace(claim, path)  # stole a fresh lock — put it back
+                with _contextlib.suppress(FileNotFoundError):
+                    if got == held:
+                        os.unlink(claim)  # confirmed stale — reclaimed
+                    else:
+                        os.replace(claim, path)  # stole a fresh lock — put it back
                 continue
             raise StoreLockedError(
                 f"results store {out_dir!r} is locked by writer "
@@ -193,17 +218,20 @@ def store_writer_lock(out_dir: str):
                 "single-writer (DEPLOY.md); if that process is truly gone "
                 "(e.g. it ran on another node), delete the lock file manually."
             )
-    else:
-        raise StoreLockedError(
-            f"could not acquire {path} after repeated attempts — "
-            "another writer is churning the lock"
-        )
-    # holding the lock: GC claim files orphaned by a reclaimer crashing
-    # between its rename and unlink (mtime guard skips any reclaim
-    # currently in flight)
+        else:
+            raise StoreLockedError(
+                f"could not acquire {path} after repeated attempts — "
+                "another writer is churning the lock"
+            )
+    finally:
+        with _contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
+    # holding the lock: GC claim/acquire files orphaned by a sibling
+    # crashing mid-reclaim or mid-acquire (mtime guard skips any reclaim
+    # currently in flight — claims are utime-freshened at rename)
     now = time.time()
     for f in os.listdir(out_dir):
-        if f.startswith(".writer.lock.reclaim-"):
+        if f.startswith((".writer.lock.reclaim-", ".writer.lock.acquire-")):
             full = os.path.join(out_dir, f)
             with _contextlib.suppress(OSError):
                 if now - os.path.getmtime(full) > 60:
@@ -709,8 +737,10 @@ def _retain_recent_locked(out_dir: str, limit: int) -> dict:
     partial_rows: list[dict] = []
     # errnos meaning "this filesystem can't hard-link" — anything else
     # (e.g. FileExistsError from a basename collision) must propagate,
-    # not be papered over by a silent copy2 overwrite
-    no_link = {errno.EXDEV, errno.EPERM, errno.ENOTSUP, errno.EMLINK}
+    # not be papered over by a silent copy2 overwrite. EACCES is in the
+    # set because some NFS/security-module setups deny link(2) with it;
+    # FileExistsError still propagates (its errno is EEXIST).
+    no_link = {errno.EXDEV, errno.EPERM, errno.EACCES, errno.ENOTSUP, errno.EMLINK}
     for sid in keep_all:
         for f in files.get(sid, []):
             dst = os.path.join(tmp_dir, os.path.basename(f))

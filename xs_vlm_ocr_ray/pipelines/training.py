@@ -33,6 +33,19 @@ from .routed import build_routed_extract_ds
 # a hash-shuffle semi-join.
 _WINNER_BROADCAST_LIMIT = 5_000_000
 
+# The columns the election (text_hash, _order) and the curated output
+# actually need. Stage 1 also produces error/processing_ms/content_hash
+# — required by the durable wave writer's manifest stats on the
+# resumable path, dead weight in the dedup checkpoint (error is "" and
+# success True on every post-filter row; content_hash is the INPUT
+# payload hash, unused once text_hash exists). The in-memory path
+# projects them out before ``materialize()``; the resumable path prunes
+# them at the stage-1 parquet read (column pruning, free).
+_ELECTION_COLUMNS = (
+    "url", "extracted_text", "success", "engine", "lang_pred",
+    "quality", "n_tokens", "text_hash", "shard_id", "row_idx", "_order",
+)
+
 
 def _annotate(t: pa.Table) -> pa.Table:
     # vectorized Arrow kernels for lang/quality/tokens (the per-doc
@@ -155,7 +168,7 @@ def build_training_ds(
     t0 = time.perf_counter()
     pre = build_filtered_ds(
         sf_dir_or_paths, min_quality, min_tokens, blocklist=blocklist
-    )
+    ).select_columns(list(_ELECTION_COLUMNS))
     mat = pre.materialize()
     if stage_walls is not None:
         stage_walls["stage1_s"] = round(time.perf_counter() - t0, 3)
@@ -274,7 +287,7 @@ def run_training_pipeline(
     # just to count its input
     total = read_pages(sf_dir_or_paths, columns=["url"]).count()
     gates: dict = {}
-    if blocklist is not None:
+    if blocklist is not None and out_dir is None:
         gates["n_blocked"] = _count_blocked(sf_dir_or_paths, blocklist, total)
 
     if out_dir is None:
@@ -309,10 +322,31 @@ def run_training_pipeline(
             **gates,
         }
 
+    from ..sources.pages import list_shards
+    from ..state.manifest import completed_shards
     from .extract import read_results, run_extract
 
     out_dir = os.path.abspath(out_dir)
     stage1 = os.path.join(out_dir, "stage1")
+
+    if blocklist is not None:
+        # n_blocked = rows THIS invocation gated: on a resumed run only
+        # the pending shards pass through the blocklist filter —
+        # counting the whole input would overstate what this run
+        # blocked (already-manifested shards were gated, and counted,
+        # by the run that processed them)
+        paths = (
+            list(sf_dir_or_paths)
+            if isinstance(sf_dir_or_paths, (list, tuple))
+            else list_shards(sf_dir_or_paths)
+        )
+        done = completed_shards(stage1) if resume else set()
+        pending = [p for i, p in enumerate(paths) if i not in done]
+        if pending:
+            p_total = read_pages(pending, columns=["url"]).count()
+            gates["n_blocked"] = _count_blocked(pending, blocklist, p_total)
+        else:
+            gates["n_blocked"] = 0
 
     def builder(paths, skip):
         return build_filtered_ds(
@@ -338,7 +372,9 @@ def run_training_pipeline(
         os.makedirs(curated_dir, exist_ok=True)
         kept = 0
     else:
-        curated = dedup_by_winner(read_results(stage1))
+        curated = dedup_by_winner(
+            read_results(stage1, columns=list(_ELECTION_COLUMNS))
+        )
         if max_per_domain is not None:
             from ..functions.urls import cap_per_domain
 

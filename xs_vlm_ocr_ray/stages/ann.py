@@ -74,10 +74,20 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """IVF coarse quantizer: seeded mini-kmeans (spherical) on a small
-    head sample, trained driver-side. At corpus scale the sample is a
-    `random_sample` pushdown; the training cost is independent of
-    corpus size."""
-    sample = ds.limit(sample_rows).to_pandas()
+    RANDOM sample, trained driver-side. A head sample (``limit``) on a
+    sorted/clustered corpus would train every centroid on one region —
+    ``random_sample`` draws uniformly across blocks; the training cost
+    is independent of corpus size."""
+    n = ds.count()
+    if n > sample_rows:
+        # oversample 2x so the post-sample limit still fills sample_rows
+        # with high probability; seeded → deterministic per corpus
+        frac = min(1.0, 2.0 * sample_rows / n)
+        sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
+        if len(sample) == 0:  # pathological tiny-fraction draw
+            sample = ds.limit(sample_rows).to_pandas()
+    else:
+        sample = ds.to_pandas()
     x = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
