@@ -595,6 +595,66 @@ ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 20
 """
 
 
+def q_history_page_cursor(sf_dir: str) -> pd.DataFrame:
+    """O1 deep pagination, key-range CURSOR form (the scale shape,
+    SURVEY.md O1 / reference HistoryManager.cpp:153-229): page 1's last
+    key (ts, event_id) becomes the cursor; the next page is
+    ``WHERE (ts, event_id) < cursor ORDER BY ts DESC, event_id DESC
+    LIMIT 20``. Unlike the OFFSET form (q_history_page2) the per-page
+    work is O(page), not O(page × depth): the cursor ts bounds the
+    parquet read (row-group pruning skips everything newer) and no
+    offset rows are ever materialized. Returns page 2 — identical rows
+    to the OFFSET form, via the key-range plan."""
+    import pyarrow.dataset as pads
+
+    page1 = q_history_page(sf_dir)  # 20 rows, (ts, event_id) DESC
+    cur_ts = pd.Timestamp(page1["ts"].iloc[-1]).to_pydatetime()
+    cur_id = int(page1["event_id"].iloc[-1])
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        filter=((pads.field("ts") >= _TS_LO) & (pads.field("ts") <= cur_ts)),
+    )
+    lo = pa.scalar(_TS_LO, pa.timestamp("us"))
+    ts_c = pa.scalar(cur_ts, pa.timestamp("us"))
+    id_c = pa.scalar(cur_id, pa.int64())
+
+    def fn(t: pa.Table) -> pa.Table:
+        before_cursor = pc.or_(
+            pc.less(t["ts"], ts_c),
+            pc.and_(pc.equal(t["ts"], ts_c), pc.less(t["event_id"], id_c)),
+        )
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["ts"], lo), before_cursor),
+            pc.match_substring(t["props"], '"k": 7'),
+        )
+        return t.filter(m)
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .sort(["ts", "event_id"], descending=[True, True])
+        .limit(20)
+        .to_pandas()
+    )
+
+
+_HISTORY_PAGE_CURSOR_SQL = """
+WITH p1 AS (
+  SELECT ts, event_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    AND props LIKE '%"k": 7%'
+  ORDER BY ts DESC, event_id DESC LIMIT 20
+), cur AS (SELECT ts, event_id FROM p1 ORDER BY ts ASC, event_id ASC LIMIT 1)
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+FROM events e, cur c
+WHERE e.ts >= TIMESTAMP '2024-01-10' AND e.ts < TIMESTAMP '2024-01-20'
+  AND e.props LIKE '%"k": 7%'
+  AND (e.ts < c.ts OR (e.ts = c.ts AND e.event_id < c.event_id))
+ORDER BY e.ts DESC, e.event_id DESC LIMIT 20
+"""
+
+
 def q_top1_per_key(sf_dir: str) -> pd.DataFrame:
     """O2: most recent row per key (reference: latest successful row per
     content_hash). Partial per-batch reduce → coarse-bucket groupby
@@ -1220,6 +1280,61 @@ GROUP BY domain ORDER BY domain
 """
 
 
+def q_cap_per_domain(sf_dir: str) -> pd.DataFrame:
+    """Per-site sampling cap (functions/urls.py ``cap_per_domain``, the
+    training pipeline's ``max_per_domain`` gate): keep the FIRST 3 rows
+    per domain in lineage order. Exercised over the same deterministic
+    (source, doc_id)-derived urls as q_domain_stats; rows without a
+    parseable domain form one shared ''-domain group (both engines).
+    Exact SQL shape: ROW_NUMBER() OVER (PARTITION BY domain ORDER BY
+    doc_id) <= 3."""
+    from ..functions.urls import cap_per_domain
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def mk_url(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"]
+        sid = did.astype(str)
+        url = np.where(
+            did % 7 == 0,
+            "no-scheme-" + sid,
+            np.where(
+                did % 3 == 0,
+                "http://" + df["source"].str.upper() + ".Example.org:8080/p/" + sid,
+                "https://" + df["source"] + ".example.com/docs/" + sid,
+            ),
+        )
+        return pd.DataFrame({"doc_id": did, "url": url})
+
+    capped = cap_per_domain(
+        ds.map_batches(mk_url, batch_format="pandas"), 3, order_cols=("doc_id",)
+    ).to_pandas()
+    return (
+        capped[["doc_id", "url"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+_CAP_PER_DOMAIN_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN 'no-scheme-' || doc_id
+           WHEN doc_id % 3 = 0 THEN 'http://' || UPPER(source) || '.Example.org:8080/p/' || doc_id
+           ELSE 'https://' || source || '.example.com/docs/' || doc_id
+         END AS url
+  FROM documents
+)
+SELECT doc_id, url FROM (
+  SELECT doc_id, url,
+         ROW_NUMBER() OVER (
+           PARTITION BY LOWER(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+           ORDER BY doc_id
+         ) AS rn
+  FROM urls
+) WHERE rn <= 3 ORDER BY doc_id
+"""
+
+
 def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup CLUSTERING via the distributed min-label connected
     components (stages/dedup.py ``neardup_clusters_distributed`` — the
@@ -1748,6 +1863,7 @@ QUERIES = {
     "q_filtered_count": q_filtered_count,
     "q_history_page": q_history_page,
     "q_history_page2": q_history_page2,
+    "q_history_page_cursor": q_history_page_cursor,
     "q_top1_per_key": q_top1_per_key,
     "q_retention_topn": q_retention_topn,
     "q_point_lookup": q_point_lookup,
@@ -1756,6 +1872,7 @@ QUERIES = {
     "q_events_drop_consecutive": q_events_drop_consecutive,
     "q_set_ops": q_set_ops,
     "q_domain_stats": q_domain_stats,
+    "q_cap_per_domain": q_cap_per_domain,
     "q_doc_keyword_count": q_doc_keyword_count,
     "q_char_metric": q_char_metric,
     "q_doc_preview": q_doc_preview,
@@ -1770,10 +1887,8 @@ QUERIES = {
     "q_doc_embed_neardup": q_doc_embed_neardup,
     "q_neardup_clusters": q_neardup_clusters,
     "q_ann_topk": q_ann_topk,
-    "q_ann_lsh_topk": q_ann_lsh_topk,
     "q_text_embed_ann": q_text_embed_ann,
     "q_media_image_features": q_media_image_features,
-    "q_media_audio_features": q_media_audio_features,
 }
 # Registry swaps this round (the cap is exactly 50 — see above):
 # q_events_sample, q_doc_simhash, q_media_video_frames moved OUT in
@@ -1784,7 +1899,14 @@ QUERIES = {
 # embed→ANN pipeline row q_text_embed_ann. Round 4: q_ann_ivf_topk OUT
 # (rows-only; duplicated q_ann_lsh_topk's evidence — the IVF kernel
 # stays pytest-gated with a recall bound in tests/test_sketch.py) for
-# the oracle-checked store-ops row q_retention_store.
+# the oracle-checked store-ops row q_retention_store. Round 5:
+# q_ann_lsh_topk OUT (rows-only; the ANN family is evidenced by
+# oracle-checked q_ann_topk + the embed→ANN row, LSH recall stays
+# pytest-gated) and q_media_audio_features OUT (the image row
+# evidences the identical multimodal actor-pool plumbing; audio stays
+# pytest-gated in tests/test_multimodal.py) for the oracle-checked
+# key-range pagination row q_history_page_cursor and the per-site
+# sampling cap row q_cap_per_domain.
 
 ORACLE_SQL = {
     "q1_lineitem_agg": _Q1_SQL,
@@ -1801,6 +1923,7 @@ ORACLE_SQL = {
     "q_filtered_count": _FILTERED_COUNT_SQL,
     "q_history_page": _HISTORY_PAGE_SQL,
     "q_history_page2": _HISTORY_PAGE2_SQL,
+    "q_history_page_cursor": _HISTORY_PAGE_CURSOR_SQL,
     "q_top1_per_key": _TOP1_SQL,
     "q_retention_topn": _RETENTION_SQL,
     "q_retention_store": _RETENTION_STORE_SQL,
@@ -1819,6 +1942,7 @@ ORACLE_SQL = {
     "q_doc_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "q_doc_embed_neardup": _EMBED_NEARDUP_SQL,
     "q_domain_stats": _DOMAIN_STATS_SQL,
+    "q_cap_per_domain": _CAP_PER_DOMAIN_SQL,
     "q_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
     "q_ann_topk": _ANN_TOPK_SQL,
     # q_doc_minhash_neardup / q_doc_simhash / q_doc_fingerprint /
