@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
                          "contamination/contaminated audit columns")
     ap.add_argument("--decontam-threshold", type=float, default=0.5,
                     help="containment score threshold (default 0.5)")
+    ap.add_argument("--quality-stats", action="store_true",
+                    help="training pipeline: report p50/p90/p99 of the "
+                         "curated quality score (approx_quantiles — one "
+                         "extra streaming pass) in the summary")
     ap.add_argument("--concurrency", type=int, default=None,
                     help="actor-pool size for heavy engines (default: task pool)")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local)")
@@ -94,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         for flag, val in (
             ("--blocklist", args.blocklist),
             ("--decontam-dir", args.decontam_dir),
+            ("--quality-stats", args.quality_stats or None),
         ):
             if val is not None:
                 ap.error(f"{flag} requires --pipeline training")
@@ -151,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
             decontam_texts=decontam_texts,
             decontam_threshold=args.decontam_threshold,
             decontam_mode=args.decontam_mode,
+            quality_stats=args.quality_stats,
         )
     else:
         from xs_vlm_ocr_ray.engines.config import ConfigWatcher, default_config

@@ -46,9 +46,67 @@ def test_fake_audio_video_roundtrip():
         decode_fake_video_frame(v, 5)
 
 
+import importlib.util
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL installed — the real-codec path test runs instead")
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real_image(b"\x89PNG\r\n\x1a\n....")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed in this container")
+def test_real_codec_image_features(ray_session):
+    """PIL-present branch: the production codec path end-to-end through
+    the actor-pool stage — real PNG decode (RGB + grayscale), resize,
+    features, corrupt payload in-band. Green wherever PIL exists,
+    skipped cleanly without it."""
+    import io
+
+    import pyarrow as pa
+    from PIL import Image
+
+    import ray.data as rd
+
+    def png_bytes(mode: str, size=(6, 4)) -> bytes:
+        img = Image.new(mode, size)
+        px = img.load()
+        for y in range(size[1]):
+            for x in range(size[0]):
+                v = (x * 40 + y * 10) % 256
+                px[x, y] = (v, 255 - v, v // 2) if mode == "RGB" else v
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rgb, gray = png_bytes("RGB"), png_bytes("L")
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array([rgb, gray, b"not a png"], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            ImageFeatureExtractor,
+            fn_constructor_kwargs={"use_real_codec": True},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["success"]) == [True, True, False]
+    assert out["error"][2].startswith("decode_error")
+    assert (out["width"][:2] == 6).all() and (out["height"][:2] == 4).all()
+    # features match a direct decode
+    direct = np.asarray(Image.open(io.BytesIO(rgb))).reshape(-1, 3).astype(np.float64)
+    assert out["chan_mean"][0] == pytest.approx(direct.mean(axis=0), abs=1e-6)
+    assert len(out["chan_mean"][1]) == 1  # grayscale → one channel
 
 
 def test_resize_nearest():

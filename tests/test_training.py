@@ -195,6 +195,33 @@ def test_training_blocklist_and_decontam_gates(ray_session, tiny_pages_dir):
                               decontam_mode="delete")
 
 
+def test_training_quality_stats(ray_session, tiny_pages_dir, tmp_path):
+    """quality_stats adds approximate p50/p90/p99 of the curated
+    quality score, consistent with the exact quantiles of the curated
+    rows within the histogram's one-bucket value bound."""
+    import numpy as np
+
+    from xs_vlm_ocr_ray.pipelines.training import (
+        build_training_ds,
+        run_training_pipeline,
+    )
+
+    s = run_training_pipeline(tiny_pages_dir, quality_stats=True)
+    qq = s["quality_quantiles"]
+    assert set(qq) == {"p50", "p90", "p99"}
+    q = build_training_ds(tiny_pages_dir).to_pandas()["quality"].to_numpy()
+    tol = (q.max() - q.min()) / 4096 + 1e-9  # one histogram bucket
+    for key, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        assert abs(qq[key] - np.quantile(q, frac)) <= tol + 0.01
+    assert (qq["p50"] <= qq["p90"] <= qq["p99"]) and qq["p50"] >= 0.5  # min_quality gate
+
+    # durable path reports the same distribution over the written store
+    s2 = run_training_pipeline(
+        tiny_pages_dir, out_dir=str(tmp_path / "qq"), quality_stats=True
+    )
+    assert abs(s2["quality_quantiles"]["p50"] - qq["p50"]) <= 2 * tol + 0.02
+
+
 def test_training_out_dir_gates(ray_session, tiny_pages_dir, tmp_path):
     """Resumable path: gates apply to the durable curated store; drop
     mode excludes contaminated docs, mark mode keeps audit columns."""

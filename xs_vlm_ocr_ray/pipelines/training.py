@@ -217,6 +217,22 @@ def _count_marked(marked: rd.Dataset) -> tuple[int, int]:
     return int(df["n"].sum()), int(df["c"].sum())
 
 
+def _quality_quantiles(ds: rd.Dataset) -> dict:
+    """p50/p90/p99 of the curated quality score — distributed
+    approximate quantiles (stages/sketch.approx_quantiles, ≤1-bucket
+    value error, only tiny histograms cross the wire). None on an
+    empty curated set."""
+    import math
+
+    from ..stages.sketch import approx_quantiles
+
+    vals = approx_quantiles(ds, "quality", qs=(0.5, 0.9, 0.99))
+    return {
+        k: (None if math.isnan(v) else round(float(v), 6))
+        for k, v in zip(("p50", "p90", "p99"), vals)
+    }
+
+
 def _count_blocked(sf_dir_or_paths, blocklist, total: int) -> int:
     """Blocklist gate count from a column-pruned url-only pass (never
     re-runs extraction): input rows minus rows surviving the filter."""
@@ -242,12 +258,20 @@ def run_training_pipeline(
     decontam_texts=None,
     decontam_threshold: float = 0.5,
     decontam_mode: str = "drop",
+    quality_stats: bool = False,
 ) -> dict:
     """Execute the curation run. Returns gate counts (``n_blocked`` /
     ``n_contaminated`` appear whenever their gate is enabled — no
     silent drops) and, on the in-memory path, per-stage wall times
     (``stage_walls_s``) so the bench artifact can attribute a slow run
     to a stage instead of guessing.
+
+    ``quality_stats``: adds ``quality_quantiles`` (p50/p90/p99 of the
+    curated quality score via ``stages.sketch.approx_quantiles`` —
+    mergeable histograms, nothing but tiny summaries cross the wire) —
+    the observability a curator needs to tune ``min_quality`` without
+    collecting the corpus. Opt-in: it costs one extra streaming pass
+    over the curated output.
 
     Optional curation gates a 100 TB run cannot skip:
 
@@ -301,9 +325,12 @@ def run_training_pipeline(
         )
         t0 = time.perf_counter()
         if decontam_texts is None:
+            final_ds = out
             kept = out.count()
             walls["filter_s"] = round(time.perf_counter() - t0, 3)
         else:
+            import pyarrow.compute as pc
+
             from ..stages.dedup import decontaminate
 
             marked = decontaminate(
@@ -314,6 +341,16 @@ def run_training_pipeline(
             walls["filter_s"] = round(time.perf_counter() - t0, 3)
             gates["n_contaminated"] = n_cont
             kept = n_all - n_cont if decontam_mode == "drop" else n_all
+            final_ds = (
+                marked
+                if decontam_mode == "mark"
+                else marked.map_batches(
+                    lambda t: t.filter(pc.invert(t["contaminated"])),
+                    batch_format="pyarrow",
+                )
+            )
+        if quality_stats:
+            gates["quality_quantiles"] = _quality_quantiles(final_ds)
         return {
             "n_input": total,
             "n_curated": kept,
@@ -403,6 +440,12 @@ def run_training_pipeline(
                 curated = marked
         curated.write_parquet(curated_dir)
         kept = rd.read_parquet(curated_dir).count()
+    if quality_stats:
+        gates["quality_quantiles"] = (
+            _quality_quantiles(rd.read_parquet(curated_dir))
+            if kept
+            else {"p50": None, "p90": None, "p99": None}
+        )
     out = {
         "n_input": total,
         "n_curated": kept,

@@ -165,9 +165,16 @@ class ImageFeatureExtractor:
                 continue
             try:
                 img = self.decode(p)
-            except ValueError as exc:
+            except (ValueError, OSError) as exc:
+                # OSError covers the real codec's corrupt-payload errors
+                # (PIL.UnidentifiedImageError subclasses OSError); the
+                # environmental NotImplementedError (no PIL installed)
+                # stays LOUD — a misconfigured codec must not be
+                # silently recorded as per-row decode failures
                 error[i] = f"decode_error: {exc}"
                 continue
+            if img.ndim == 2:  # grayscale real decode → one channel
+                img = img[:, :, None]
             if self.resize_to is not None:
                 img = resize_nearest(img, *self.resize_to)
             success[i] = True
