@@ -525,10 +525,11 @@ def preload_recent(
         .to_pandas()
     )
     out: dict[str, dict] = {}
-    for _, r in recent.iterrows():
-        h = r["content_hash"]
+    for h, url, text in zip(
+        recent["content_hash"], recent["url"], recent["extracted_text"]
+    ):
         if h and h not in out:
-            out[h] = {"url": r["url"], "extracted_text": r["extracted_text"]}
+            out[h] = {"url": url, "extracted_text": text}
     return out
 
 
