@@ -562,3 +562,42 @@ def test_rewrite_store_gc_reclaims_crash_orphans(
     pd.testing.assert_frame_equal(
         after, before.sort_values("url").reset_index(drop=True)[after.columns]
     )
+
+
+def test_store_writer_lock_no_hardlink_fs(tmp_path, monkeypatch):
+    """Filesystems that deny link(2) (EPERM/EACCES — some NFS exports,
+    security modules) must fall back to the O_EXCL create form, not
+    crash every store mutator; held-lock detection must survive the
+    fallback too."""
+    import errno
+    import json
+    import os
+    import socket
+
+    import pytest
+
+    from xs_vlm_ocr_ray.pipelines import extract as ex
+
+    store = tmp_path / "store"
+    store.mkdir()
+    real_link = os.link
+
+    def deny_link(src, dst, **kw):
+        if str(dst).endswith(".writer.lock"):
+            raise PermissionError(errno.EPERM, "link denied", str(dst))
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", deny_link)
+    lock = store / ".writer.lock"
+    with ex.store_writer_lock(str(store)):
+        held = json.loads(lock.read_text())
+        assert held["pid"] == os.getpid()
+    assert not lock.exists()  # released
+
+    # held lock is still detected on the fallback path
+    lock.write_text(
+        json.dumps({"pid": os.getpid(), "host": socket.gethostname()})
+    )
+    with pytest.raises(ex.StoreLockedError):
+        with ex.store_writer_lock(str(store)):
+            pass

@@ -161,3 +161,37 @@ def test_sessionize_string_user_ids(ray_session):
     assert list(out["user_id"]) == ["alice", "alice", "bob", "bob"]
     assert list(out["session_id"]) == [0, 1, 0, 1]
     assert list(out["n_events"]) == [2, 1, 1, 1]
+
+
+def test_window_wrappers_empty_input(ray_session):
+    """Zero-row input collects schema-less from Ray; the wrappers must
+    return typed empty frames with the contract columns, not raise."""
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.stages.window import (
+        drop_consecutive,
+        sessionize,
+        tumbling_window_agg,
+    )
+
+    empty = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "event_type": pd.Series([], dtype="object"),
+                "value": pd.Series([], dtype="float64"),
+            }
+        )
+    )
+    out = drop_consecutive(empty)
+    assert out.empty and list(out.columns) == ["event_id", "ts", "event_type"]
+    out = sessionize(empty)
+    assert out.empty and list(out.columns) == [
+        "user_id", "session_id", "n_events", "session_start", "session_end",
+    ]
+    out = tumbling_window_agg(empty)
+    assert out.empty and list(out.columns) == [
+        "window", "event_type", "n", "sum_value", "min_value", "max_value",
+    ]

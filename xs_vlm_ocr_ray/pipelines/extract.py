@@ -19,6 +19,7 @@ a single-wave run is fully streaming with one checkpoint at the end.
 from __future__ import annotations
 
 import contextlib as _contextlib
+import errno as _errno
 import os
 import time
 
@@ -108,6 +109,15 @@ class StoreLockedError(RuntimeError):
     """The results store's writer lock is held by another live process."""
 
 
+# errnos meaning "this filesystem can't hard-link" — shared by the lock
+# acquire and retention's link-into-wave fast path. Anything else (EIO,
+# EROFS, quota) is a real failure that must not be papered over.
+# FileExistsError still propagates from link sites (its errno is EEXIST).
+_NO_LINK_ERRNOS = frozenset(
+    {_errno.EXDEV, _errno.EPERM, _errno.EACCES, _errno.ENOTSUP, _errno.EMLINK}
+)
+
+
 @_contextlib.contextmanager
 def store_writer_lock(out_dir: str):
     """Best-effort enforcement of the store's SINGLE-WRITER contract.
@@ -145,17 +155,41 @@ def store_writer_lock(out_dir: str):
     # lock the same-host pid reclaim could never clear, bricking the
     # store until manual removal. A corrupt lock from older code (or a
     # torn foreign write) is still covered: unparseable AND older than
-    # a 60 s grace period → treated as stale.
-    tmp = f"{path}.acquire-{os.getpid()}"
+    # a 60 s grace period → treated as stale. Filesystems that refuse
+    # link(2) outright (some NFS exports / security modules — the same
+    # set retention's hard-link fallback handles) fall back to the
+    # O_EXCL create+write form, re-accepting only on those mounts the
+    # tiny crash window the grace-period reclaim already covers.
+    # The temp name carries host+pid+nonce: pid alone collides across
+    # hosts sharing the store, and a cross-host collision would let one
+    # writer's payload overwrite another's pre-link.
+    host_tag = "".join(c if c.isalnum() else "-" for c in me["host"])[:40]
+    tmp = f"{path}.acquire-{host_tag}-{os.getpid()}-{os.urandom(4).hex()}"
     with open(tmp, "w") as f:
         f.write(json.dumps(me))
+
+    def _install() -> bool:
+        """Atomically install the lock. True = acquired, False = held."""
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        except OSError as e:
+            if e.errno not in _NO_LINK_ERRNOS:
+                raise
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(me))
+        return True
+
     try:
         for attempt in range(4):
-            try:
-                os.link(tmp, path)
+            if _install():
                 break
-            except FileExistsError:
-                pass
             try:
                 with open(path) as f:
                     held = json.loads(f.read() or "{}")
@@ -731,24 +765,19 @@ def _retain_recent_locked(out_dir: str, limit: int) -> dict:
         else:
             boundary = (sid, limit - acc)
         acc += n
-    import errno
-
     files = _shard_file_lists(out_dir, man)
     tmp_dir, wave_dir, files_before, old_dirs = _begin_rewrite(out_dir, man)
     partial_rows: list[dict] = []
-    # errnos meaning "this filesystem can't hard-link" — anything else
-    # (e.g. FileExistsError from a basename collision) must propagate,
-    # not be papered over by a silent copy2 overwrite. EACCES is in the
-    # set because some NFS/security-module setups deny link(2) with it;
-    # FileExistsError still propagates (its errno is EEXIST).
-    no_link = {errno.EXDEV, errno.EPERM, errno.EACCES, errno.ENOTSUP, errno.EMLINK}
     for sid in keep_all:
         for f in files.get(sid, []):
             dst = os.path.join(tmp_dir, os.path.basename(f))
             try:
                 os.link(f, dst)
             except OSError as e:
-                if e.errno not in no_link:
+                # anything outside the no-link set (e.g. FileExistsError
+                # from a basename collision) must propagate, not be
+                # papered over by a silent copy2 overwrite
+                if e.errno not in _NO_LINK_ERRNOS:
                     raise
                 shutil.copy2(f, dst)
         rec = man[sid]

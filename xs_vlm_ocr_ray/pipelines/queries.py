@@ -608,6 +608,10 @@ def q_history_page_cursor(sf_dir: str) -> pd.DataFrame:
     import pyarrow.dataset as pads
 
     page1 = q_history_page(sf_dir)  # 20 rows, (ts, event_id) DESC
+    if page1.empty:
+        # no page 1 → no cursor → empty page 2 (the SQL form's empty
+        # cur CTE cross-joins to zero rows; match it instead of raising)
+        return page1
     cur_ts = pd.Timestamp(page1["ts"].iloc[-1]).to_pydatetime()
     cur_id = int(page1["event_id"].iloc[-1])
 

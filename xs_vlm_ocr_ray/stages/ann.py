@@ -72,22 +72,61 @@ def ivf_train_centroids(
     iters: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str | None = "vec_id",
 ) -> np.ndarray:
     """IVF coarse quantizer: seeded mini-kmeans (spherical) on a small
     RANDOM sample, trained driver-side. A head sample (``limit``) on a
-    sorted/clustered corpus would train every centroid on one region —
-    ``random_sample`` draws uniformly across blocks; the training cost
-    is independent of corpus size."""
-    n = ds.count()
-    if n > sample_rows:
-        # oversample 2x so the post-sample limit still fills sample_rows
-        # with high probability; seeded → deterministic per corpus
-        frac = min(1.0, 2.0 * sample_rows / n)
-        sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
-        if len(sample) == 0:  # pathological tiny-fraction draw
+    sorted/clustered corpus would train every centroid on one region.
+
+    Sampling is ONE streaming pass, no ``count()``: each row gets a
+    deterministic priority (splitmix64 of ``id_col`` ⊕ seed), each batch
+    keeps its ``sample_rows`` smallest, and a tiny sort+limit over the
+    per-batch partials (≤ sample_rows rows per block cross the wire)
+    yields the global bottom-k — a uniform without-replacement sample.
+    A two-pass ``count()`` + ``random_sample`` would execute a derived
+    (non-metadata-backed) upstream pipeline twice; datasets lacking an
+    integer ``id_col`` fall back to exactly that, documented-slower,
+    path."""
+    id_ok = False
+    if id_col is not None:
+        s = ds.schema()  # Ray Data Schema: parallel .names / .types lists
+        if id_col in s.names:
+            id_ok = pa.types.is_integer(s.types[s.names.index(id_col)])
+    if id_ok:
+
+        def partial(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            z = ids + np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            pri = z ^ (z >> np.uint64(31))
+            if len(pri) > sample_rows:
+                idx = np.argpartition(pri, sample_rows - 1)[:sample_rows]
+            else:
+                idx = np.arange(len(pri))
+            return pa.table(
+                {"_pri": pa.array(pri[idx]), vec_col: t[vec_col].take(pa.array(idx))}
+            )
+
+        sample = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .sort("_pri")
+            .limit(sample_rows)
+            .to_pandas()
+        )
+        if sample.empty:
             sample = ds.limit(sample_rows).to_pandas()
     else:
-        sample = ds.to_pandas()
+        n = ds.count()
+        if n > sample_rows:
+            # oversample 2x so the post-sample limit still fills
+            # sample_rows with high probability; seeded → deterministic
+            frac = min(1.0, 2.0 * sample_rows / n)
+            sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
+            if len(sample) == 0:  # pathological tiny-fraction draw
+                sample = ds.limit(sample_rows).to_pandas()
+        else:
+            sample = ds.to_pandas()
     x = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -97,6 +97,11 @@ def tumbling_window_agg(
     """DataFrame wrapper over :func:`tumbling_window_agg_ds` (collect +
     deterministic sort — the result is one row per window×key, small)."""
     out = tumbling_window_agg_ds(events, ts_col, key_col, value_col).to_pandas()
+    if out.empty:
+        # an empty Dataset collects schema-less — rebuild the contract
+        # columns so callers can still select/sort on them
+        cols = ["window", key_col, "n", "sum_value", "min_value", "max_value"]
+        return pd.DataFrame(columns=cols)
     return out.sort_values(["window", key_col]).reset_index(drop=True)
 
 
@@ -179,6 +184,9 @@ def sessionize(
     deterministic sort). Use the ``_ds`` form in pipelines — session
     output is O(users) and should stream to its consumer/sink."""
     out = sessionize_ds(events, gap_seconds, user_col, ts_col, id_col).to_pandas()
+    if out.empty:
+        cols = [user_col, "session_id", "n_events", "session_start", "session_end"]
+        return pd.DataFrame(columns=cols)
     return out.sort_values([user_col, "session_id"]).reset_index(drop=True)
 
 
@@ -281,6 +289,8 @@ def drop_consecutive(
     deterministic (ts, id) sort). D2 output is corpus-sized — pipelines
     must use the ``_ds`` form and stream it to a sink."""
     out = drop_consecutive_ds(events, value_col, ts_col, id_col, bucket).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=[id_col, ts_col, value_col])
     return (
         out[[id_col, ts_col, value_col]]
         .sort_values([ts_col, id_col], kind="mergesort")
