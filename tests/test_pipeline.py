@@ -601,3 +601,128 @@ def test_store_writer_lock_no_hardlink_fs(tmp_path, monkeypatch):
     with pytest.raises(ex.StoreLockedError):
         with ex.store_writer_lock(str(store)):
             pass
+
+
+def test_corrupt_lock_reclaimed_after_grace(tmp_path):
+    """A garbage or JSON-non-dict lock older than the grace period is
+    reclaimed (round-5 review: the claim re-read mapped unreadable to
+    None while the inspection mapped it to {}, so `got == held` never
+    held for corrupt locks and the restore freshened the mtime —
+    re-bricking the store on every attempt)."""
+    import json
+    import os
+    import socket
+
+    import pytest
+
+    from xs_vlm_ocr_ray.pipelines import extract as ex
+
+    store = tmp_path / "store"
+    store.mkdir()
+    lock = store / ".writer.lock"
+    for payload in ("{not json", "null", '"a-string"', "3"):
+        lock.write_text(payload)
+        os.utime(lock, (0, 0))  # ancient → past the 60 s grace period
+        with ex.store_writer_lock(str(store)):
+            held = json.loads(lock.read_text())
+            assert held["pid"] == os.getpid()
+        assert not lock.exists()
+    # a FRESH corrupt lock is NOT reclaimed (could be a mid-write peer)
+    # and must fail typed, not with AttributeError on held.get
+    lock.write_text("null")
+    with pytest.raises(ex.StoreLockedError):
+        with ex.store_writer_lock(str(store)):
+            pass
+    # same-host dead-pid reclaim still works with a dict payload
+    lock.write_text(json.dumps({"pid": 2**22 + 1234, "host": socket.gethostname()}))
+    with ex.store_writer_lock(str(store)):
+        pass
+    assert not lock.exists()
+
+
+def test_resume_refuses_changed_input_set(ray_session, tiny_pages_dir, tmp_path_factory):
+    """Resume identity is index-into-sorted-shard-list; if the input
+    file set changed since the manifest was written, resume must refuse
+    loudly instead of silently skipping new files / shifting lineage."""
+    import pytest
+
+    from xs_vlm_ocr_ray.pipelines.extract import run_extract
+    from xs_vlm_ocr_ray.sources.pages import list_shards
+
+    out = str(tmp_path_factory.mktemp("resume_guard") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=4)
+    paths = list_shards(tiny_pages_dir)
+    # same set, different order of the same list → still fine (sorted)
+    s = run_extract(tiny_pages_dir, out)
+    assert s["waves"] == 0  # nothing pending
+    # drop the first shard from the input list → every index shifts
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_extract(paths[1:], out)
+    # fresh out_dir with the changed set is fine
+    out2 = str(tmp_path_factory.mktemp("resume_guard") / "out2")
+    s2 = run_extract(paths[1:], out2)
+    assert s2["shards"] == len(paths) - 1
+
+
+def test_retain_recent_noop_when_limit_covers_store(ray_session, tiny_pages_dir, tmp_path_factory):
+    """limit >= total rows must not rewrite/relink anything — the store
+    (wave dirs, manifest records) is untouched."""
+    import os
+
+    from xs_vlm_ocr_ray.pipelines.extract import retain_recent, run_extract
+    from xs_vlm_ocr_ray.state.manifest import load_manifest
+
+    out = str(tmp_path_factory.mktemp("retain_noop") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=2)
+    man_before = load_manifest(out)
+    dirs_before = sorted(os.listdir(os.path.join(out, "results")))
+    r = retain_recent(out, 10**9)
+    assert r == {"retained_rows": 200, "dropped_rows": 0}
+    assert load_manifest(out) == man_before
+    assert sorted(os.listdir(os.path.join(out, "results"))) == dirs_before
+
+
+def test_preload_recent_empty_store(ray_session, tmp_path):
+    """A fresh store (no manifest) preloads an empty cache, not a
+    KeyError on a schema-less empty collect."""
+    from xs_vlm_ocr_ray.pipelines.extract import preload_recent
+
+    store = tmp_path / "fresh"
+    store.mkdir()
+    assert preload_recent(str(store)) == {}
+
+
+def test_compaction_aborts_on_row_loss(ray_session, tiny_pages_dir, tmp_path_factory):
+    """The rewrite loss gate: if a manifested shard's rewritten rows
+    don't reconcile with its record (here: the record claims one more
+    row than the files hold, simulating silent data loss), compaction
+    must abort BEFORE committing — manifest and wave dirs unchanged."""
+    import pytest
+
+    from xs_vlm_ocr_ray.pipelines.extract import compact_results, run_extract
+    from xs_vlm_ocr_ray.state.manifest import load_manifest, write_shard_record
+
+    out = str(tmp_path_factory.mktemp("loss_gate") / "out")
+    run_extract(tiny_pages_dir, out, wave_shards=4)
+    man = load_manifest(out)
+    rec = dict(man[2])
+    rec["n_rows"] += 1  # the files now hold fewer rows than the record
+    write_shard_record(out, rec)
+    with pytest.raises(RuntimeError, match="does not reconcile"):
+        compact_results(out)
+    assert load_manifest(out)[2]["n_rows"] == rec["n_rows"]  # untouched
+    # restore the true record → compaction succeeds and round-trips
+    write_shard_record(out, man[2])
+    s = compact_results(out)
+    assert s["compacted_shards"] == 4
+
+
+def test_run_extract_fsync_data_path(ray_session, tiny_pages_dir, tmp_path_factory):
+    """The opt-in power-loss durability path (fsync every data file
+    before its stats row) produces an identical store."""
+    from xs_vlm_ocr_ray.pipelines.extract import read_results, run_extract
+
+    out = str(tmp_path_factory.mktemp("fsync") / "out")
+    s = run_extract(tiny_pages_dir, out, wave_shards=2, fsync_data=True)
+    assert s["rows"] == 200
+    assert read_results(out).count() == 200

@@ -31,7 +31,6 @@ from ..sources.pages import list_shards, read_pages
 from ..stages.classify import classify_payload_kind
 from ..stages.extract_stage import HtmlExtractor
 from ..state.manifest import (
-    completed_shards,
     load_manifest,
     write_shard_record,
     xor_hex_digests,
@@ -117,6 +116,14 @@ _NO_LINK_ERRNOS = frozenset(
     {_errno.EXDEV, _errno.EPERM, _errno.EACCES, _errno.ENOTSUP, _errno.EMLINK}
 )
 
+# THE result-file naming contract: ``part-s<shard>-r<first_row>.parquet``
+# (written by _ShardWriter; parsed by the reader's file pruning and the
+# store rewrite's per-shard file lists — one definition, or the reader
+# and compactor silently disagree about which files are live)
+import re as _re
+
+_PART_FILE_RE = _re.compile(r"part-s(\d+)-r(\d+)\.parquet$")
+
 
 @_contextlib.contextmanager
 def store_writer_lock(out_dir: str):
@@ -193,6 +200,8 @@ def store_writer_lock(out_dir: str):
             try:
                 with open(path) as f:
                     held = json.loads(f.read() or "{}")
+                if not isinstance(held, dict):
+                    held = {}  # valid JSON but not an owner record (torn write)
             except FileNotFoundError:
                 continue  # holder released between our create and read — retry
             except (OSError, ValueError):
@@ -236,10 +245,18 @@ def store_writer_lock(out_dir: str):
                 try:
                     with open(claim) as f:
                         got = json.loads(f.read() or "{}")
+                    if not isinstance(got, dict):
+                        got = {}
                 except FileNotFoundError:
                     continue  # GC raced us anyway — nothing left to judge
                 except (OSError, ValueError):
-                    got = None
+                    # unreadable claim must compare EQUAL to an
+                    # unreadable inspection (held == {}) — mapping it to
+                    # None made `got == held` false for corrupt locks,
+                    # so the corrupt file was restored (with a freshened
+                    # mtime, resetting the grace clock) on every attempt
+                    # and the documented corrupt-lock reclaim never ran
+                    got = {}
                 with _contextlib.suppress(FileNotFoundError):
                     if got == held:
                         os.unlink(claim)  # confirmed stale — reclaimed
@@ -288,8 +305,16 @@ def run_extract(
     wave_shards: int | None = None,
     max_waves: int | None = None,
     ds_builder=None,
+    fsync_data: bool = False,
 ) -> dict:
     """Execute the flagship pipeline with checkpoint/resume.
+
+    ``fsync_data=True`` fsyncs every data file before its stats row is
+    emitted, extending durable-before-record from the kill-9 crash
+    model (safe without any fsync — page cache survives process death)
+    to machine power loss, at a measured ~10% flagship-wall cost. Wave
+    renames and manifest records are dir-/file-fsync'd unconditionally
+    (once per wave / per record — cheap).
 
     A wave's output is written to a hidden temp directory and renamed
     into place before its manifest records are derived — a crash at any
@@ -315,15 +340,36 @@ def run_extract(
         return _run_extract_locked(
             sf_dir, out_dir, engine_cls, engine_kwargs, concurrency,
             batch_size, resume, wave_shards, max_waves, ds_builder,
+            fsync_data,
         )
 
 
 def _run_extract_locked(
     sf_dir, out_dir, engine_cls, engine_kwargs, concurrency,
     batch_size, resume, wave_shards, max_waves, ds_builder,
+    fsync_data=False,
 ) -> dict:
     paths = list_shards(sf_dir)
-    done = completed_shards(out_dir) if resume else set()
+    done: set[int] = set()
+    if resume:
+        # shard identity on resume is (index into the sorted shard
+        # list); that is only sound while the input file SET is the one
+        # the manifest was built from. Adding/removing/renaming a file
+        # shifts every later index — silently skipping new files and
+        # mis-attributing lineage — so validate each completed record's
+        # recorded path against the current list and refuse loudly.
+        for sid, rec in load_manifest(out_dir).items():
+            if sid >= len(paths) or rec.get("path") != paths[sid]:
+                raise ValueError(
+                    f"resume mismatch in {out_dir!r}: manifest shard {sid} "
+                    f"records path {rec.get('path')!r} but the current input "
+                    f"list has "
+                    f"{paths[sid] if sid < len(paths) else '<no such shard>'!r}. "
+                    "The input file set changed since the previous run — "
+                    "restore the original inputs, or rerun with resume=False "
+                    "into a fresh out_dir."
+                )
+            done.add(sid)
     pending = [sid for sid in range(len(paths)) if sid not in done]
     results_dir = os.path.join(out_dir, "results")
     os.makedirs(results_dir, exist_ok=True)
@@ -373,9 +419,11 @@ def _run_extract_locked(
         # into place.
         os.makedirs(tmp_dir, exist_ok=True)
         partials = ds.map_batches(
-            _ShardWriter(tmp_dir), batch_format="pyarrow"
+            _ShardWriter(tmp_dir, fsync_data=fsync_data), batch_format="pyarrow"
         ).to_pandas()
         os.replace(tmp_dir, wave_dir)
+        _fsync_dir(wave_dir)     # entries created while it was .tmp-
+        _fsync_dir(results_dir)  # the rename itself
         wall = time.perf_counter() - t0
         _manifest_from_partials(out_dir, wave_dir, paths, wall, partials, wave)
     total_wall = time.perf_counter() - t_start
@@ -400,9 +448,7 @@ def select_result_files(
     is authorized. Shards pruned from ``man`` (by id or row range)
     never reach ``read_parquet`` — at 100 TB the plan opens only the
     files it needs, instead of row-filtering everything."""
-    import re
-
-    name_re = re.compile(r"part-s(\d+)-r\d+\.parquet$")
+    name_re = _PART_FILE_RE
     wave_dirs = sorted(
         {
             os.path.join(os.path.abspath(out_dir), "results",
@@ -542,6 +588,11 @@ def preload_recent(
         acc += man[sid]["n_success"]
         if acc >= limit:
             break
+    if acc == 0:
+        # fresh store, or every manifested shard fully filtered: there
+        # are no parquet files to read back (read_results would return
+        # a schema-less empty dataset whose collect has no columns)
+        return {}
     ds = read_results(
         out_dir,
         columns=["url", "success", "content_hash", "extracted_text",
@@ -616,9 +667,7 @@ def _shard_file_lists(out_dir: str, man: dict) -> dict[int, list[str]]:
     authorization as ``read_results``), each sorted by first-row
     offset. Every file in an authorized store parses — the writer owns
     the naming contract."""
-    import re
-
-    name_re = re.compile(r"part-s(\d+)-r(\d+)\.parquet$")
+    name_re = _PART_FILE_RE
     results_dir = os.path.join(out_dir, "results")
     by_shard: dict[int, list[tuple[int, str]]] = {}
     authorized = {
@@ -706,7 +755,12 @@ def compact_results(out_dir: str, rows_per_file: int = 100_000) -> dict:
 
             partials = pd.DataFrame({"shard_id": []})
         return _finish_rewrite(
-            out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs
+            out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs,
+            # compaction must be bit-preserving: every shard's rewritten
+            # row count AND content checksum must match its manifest
+            # record, or the commit (and the old dirs' GC) is refused
+            expected_rows={sid: rec["n_rows"] for sid, rec in man.items()},
+            expect_hashes=True,
         )
 
 
@@ -753,6 +807,12 @@ def _retain_recent_locked(out_dir: str, limit: int) -> dict:
     if not man:
         return {"retained_rows": 0, "dropped_rows": 0}
     total = sum(rec["n_rows"] for rec in man.values())
+    if limit >= total:
+        # keeping everything: mutating the store (re-linking every file
+        # into a new wave, rewriting every manifest record, GC'ing the
+        # old dirs) would be a pure data no-op that still churns O(#files)
+        # metadata and walks the rewrite's crash windows for nothing
+        return {"retained_rows": total, "dropped_rows": 0}
     keep_all: list[int] = []
     boundary: tuple[int, int] | None = None  # (sid, rows_from_tail)
     acc = 0
@@ -810,8 +870,15 @@ def _retain_recent_locked(out_dir: str, limit: int) -> dict:
             _ShardWriter(tmp_dir), batch_format="pyarrow", batch_size=100_000
         ).to_pandas()
         partials = pd.concat([partials, bp], ignore_index=True) if len(partials) else bp
+    # loss gate: kept-whole shards must re-appear at full size, the
+    # boundary shard at exactly its keep count, dropped shards at zero
+    expected = {sid: 0 for sid in man}
+    expected.update({sid: man[sid]["n_rows"] for sid in keep_all})
+    if boundary is not None:
+        expected[boundary[0]] = boundary[1]
     summary = _finish_rewrite(
-        out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs
+        out_dir, man, tmp_dir, wave_dir, partials, files_before, old_dirs,
+        expected_rows=expected,
     )
     retained = min(limit, total)
     return {
@@ -867,15 +934,52 @@ def _begin_rewrite(out_dir: str, man: dict) -> tuple[str, str, int, set[str]]:
 def _finish_rewrite(
     out_dir: str, man: dict, tmp_dir: str, wave_dir: str, partials,
     files_before: int, old_dirs: set[str],
+    expected_rows: dict[int, int] | None = None,
+    expect_hashes: bool = False,
 ) -> dict:
-    """Commit half of an atomic store rewrite: rename the wave into
-    place, repoint EVERY manifest record (shards absent from
+    """Commit half of an atomic store rewrite: reconcile the rewritten
+    rows against what the manifest says they should be, rename the wave
+    into place, repoint EVERY manifest record (shards absent from
     ``partials`` get zero-row records — no record may reference a dead
-    directory), then delete unreferenced wave dirs."""
+    directory), then delete unreferenced wave dirs.
+
+    ``expected_rows`` (sid → row count this rewrite must have produced)
+    is the loss gate: a shard whose source files went missing or
+    dropped rows mid-rewrite would otherwise be committed small and its
+    only remaining copy GC'd. On mismatch the rewrite ABORTS before the
+    rename — manifest and source wave dirs untouched, the ``.tmp-`` dir
+    reclaimed by the next rewrite's entry GC. ``expect_hashes``
+    additionally requires the per-shard content checksum to survive the
+    rewrite (compaction-style rewrites that must be bit-preserving)."""
     import shutil
+
+    if expected_rows is not None:
+        got_rows: dict[int, int] = {}
+        got_hash: dict[int, str] = {}
+        if not partials.empty:
+            for sid, g in partials.groupby("shard_id"):
+                got_rows[int(sid)] = int(g["n_rows"].sum())
+                got_hash[int(sid)] = xor_hex_digests(g["hash_xor"])
+        bad = []
+        for sid, want in sorted(expected_rows.items()):
+            got = got_rows.get(sid, 0)
+            if got != want:
+                bad.append(f"shard {sid}: rewrote {got} rows, expected {want}")
+            elif expect_hashes and want and got_hash.get(sid) != man[sid]["hash_xor"]:
+                bad.append(f"shard {sid}: content checksum changed across rewrite")
+        if bad:
+            raise RuntimeError(
+                f"store rewrite of {out_dir!r} aborted before commit — the "
+                "rewritten data does not reconcile with the manifest "
+                "(store is unmodified; source wave dirs untouched): "
+                + "; ".join(bad[:5])
+                + (f"; … {len(bad) - 5} more shards" if len(bad) > 5 else "")
+            )
 
     results_dir = os.path.join(out_dir, "results")
     os.replace(tmp_dir, wave_dir)
+    _fsync_dir(wave_dir)     # the new wave's directory entries
+    _fsync_dir(results_dir)  # the rename itself
     shard_paths = {sid: rec["path"] for sid, rec in man.items()}
     _manifest_from_partials(
         out_dir, wave_dir, shard_paths, 0.0, partials, sorted(man)
@@ -897,13 +1001,37 @@ def _finish_rewrite(
     }
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so its entries (new files, renames) survive
+    power loss — file fsync alone does not persist the dirent. Best
+    effort: some filesystems refuse O_DIRECTORY fsync (suppressed; the
+    kill-9 crash model needs no fsync at all, this hardens the
+    power-loss one)."""
+    with _contextlib.suppress(OSError):
+        fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
 class _ShardWriter:
     """Fused write+stats stage: persist the batch as one parquet file,
     emit one stats row per shard in the batch (a few bytes — the row
-    data itself never re-enters the pipeline)."""
+    data itself never re-enters the pipeline).
 
-    def __init__(self, out_dir: str):
+    ``fsync_data=True`` additionally fsyncs every data file before its
+    stats row is emitted, extending the durable-before-record ordering
+    from the (tested) kill-9 crash model to machine power loss — the
+    manifest record is always fsync'd, so without this a power loss
+    could persist a record whose data never left the page cache.
+    Opt-in: measured ~10% on the flagship wall at sf0.1 (80 × ~12 MB
+    fsyncs contending the device queue mid-write), and process-crash
+    resume needs none of it."""
+
+    def __init__(self, out_dir: str, fsync_data: bool = False):
         self.out_dir = out_dir
+        self.fsync_data = fsync_data
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import os as _os
@@ -930,7 +1058,14 @@ class _ShardWriter:
                 # task retries overwrite their own partial file, never
                 # a peer's
                 name = f"part-s{sid0:06d}-r{r0:09d}.parquet"
-                pq.write_table(sub, _os.path.join(self.out_dir, name))
+                full = _os.path.join(self.out_dir, name)
+                pq.write_table(sub, full)
+                if self.fsync_data:
+                    fd = _os.open(full, _os.O_RDONLY)
+                    try:
+                        _os.fsync(fd)
+                    finally:
+                        _os.close(fd)
         df = pd.DataFrame(
             {
                 "shard_id": t["shard_id"].to_numpy(zero_copy_only=False),

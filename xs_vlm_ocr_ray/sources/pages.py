@@ -32,11 +32,17 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
-def list_shards(path: str) -> list[str]:
-    """Sorted parquet shard files under ``path`` (or [path] for a file).
-
-    Sorted order defines ``shard_id`` — stable across runs.
+def list_shards(path) -> list[str]:
+    """Sorted parquet shard files under ``path`` — a directory, a single
+    file, or a list/tuple of either (each entry expanded, the union
+    sorted). Sorted order defines ``shard_id`` — stable across runs and
+    independent of the order a caller listed the entries in.
     """
+    if isinstance(path, (list, tuple)):
+        out: list[str] = []
+        for p in path:
+            out.extend(list_shards(p))
+        return sorted(out)
     if os.path.isfile(path):
         return [path]
     out = []

@@ -44,6 +44,17 @@ def write_shard_record(out_dir: str, record: dict) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final)
+        # persist the record's directory entry too: the record file is
+        # fsync'd above, but a power loss can still drop the rename if
+        # the directory itself never reaches disk
+        try:
+            dfd = os.open(d, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # best effort — some filesystems refuse directory fsync
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
