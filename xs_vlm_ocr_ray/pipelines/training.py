@@ -372,11 +372,10 @@ def run_training_pipeline(
         # counting the whole input would overstate what this run
         # blocked (already-manifested shards were gated, and counted,
         # by the run that processed them)
-        paths = (
-            list(sf_dir_or_paths)
-            if isinstance(sf_dir_or_paths, (list, tuple))
-            else list_shards(sf_dir_or_paths)
-        )
+        # list_shards handles dir/file/list inputs and SORTS — shard ids
+        # here must agree with run_extract's (sorted) indexing, so never
+        # enumerate a caller-ordered list directly
+        paths = list_shards(sf_dir_or_paths)
         done = completed_shards(stage1) if resume else set()
         pending = [p for i, p in enumerate(paths) if i not in done]
         if pending:
