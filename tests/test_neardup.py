@@ -340,13 +340,14 @@ def test_simhash_pairs_ds_equivalence(docs_ds, ray_session):
     import pandas as pd
 
     from xs_vlm_ocr_ray.stages.dedup import (
+        real_pairs_ds,
         simhash_neardup_pairs,
         simhash_neardup_pairs_ds,
     )
 
     want = simhash_neardup_pairs(docs_ds, max_hamming=3)
     got = (
-        simhash_neardup_pairs_ds(docs_ds, max_hamming=3)
+        real_pairs_ds(simhash_neardup_pairs_ds(docs_ds, max_hamming=3))
         .to_pandas()
         .sort_values(["a", "b"])
         .reset_index(drop=True)
@@ -447,7 +448,7 @@ def test_embedding_pairs_ds_empty_input(ray_session):
     )
     out = embedding_neardup_pairs_ds(empty, threshold=0.4)
     assert out.count() == 0
-    assert out.schema().names == ["a", "b", "sim"]
+    assert out.schema().names == ["a", "b", "sim", "n_oversized"]
 
 
 def test_embedding_pairs_ds_both_routes(ray_session):
@@ -469,8 +470,10 @@ def test_embedding_pairs_ds_both_routes(ray_session):
     brute = embedding_neardup_pairs(ds, threshold=0.4)
     assert len(brute) > 0  # the corpus plants embedding near-dups
 
+    from xs_vlm_ocr_ray.stages.dedup import real_pairs_ds
+
     got_brute = (
-        embedding_neardup_pairs_ds(ds, threshold=0.4)
+        real_pairs_ds(embedding_neardup_pairs_ds(ds, threshold=0.4))
         .to_pandas()
         .sort_values(["a", "b"])
         .reset_index(drop=True)
@@ -485,7 +488,8 @@ def test_embedding_pairs_ds_both_routes(ray_session):
     assert len(want_bucketed) == 0
     empty_ds = embedding_neardup_pairs_ds(ds, threshold=0.4, max_rows_bruteforce=0)
     assert empty_ds.count() == 0
-    assert empty_ds.schema().names == ["a", "b", "sim"]  # typed, not schema-less
+    # typed, not schema-less
+    assert empty_ds.schema().names == ["a", "b", "sim", "n_oversized"]
 
     # bucketed route NON-EMPTY: clusters of near-identical vectors
     # (cosine ≈ 1 → ~84% per-pair bucket-collision probability over 12
@@ -505,7 +509,9 @@ def test_embedding_pairs_ds_both_routes(ray_session):
     )
     want_syn = embedding_neardup_pairs(sds, threshold=0.9, max_rows_bruteforce=0)
     got_syn = (
-        embedding_neardup_pairs_ds(sds, threshold=0.9, max_rows_bruteforce=0)
+        real_pairs_ds(
+            embedding_neardup_pairs_ds(sds, threshold=0.9, max_rows_bruteforce=0)
+        )
         .to_pandas()
         .sort_values(["a", "b"])
         .reset_index(drop=True)
@@ -523,7 +529,9 @@ def test_embedding_pairs_ds_both_routes(ray_session):
         drop_neardups(ds, brute, id_col="vec_id").to_pandas()["vec_id"]
     )
     kept = drop_neardups_ds(
-        ds, embedding_neardup_pairs_ds(ds, threshold=0.4), id_col="vec_id"
+        ds,
+        real_pairs_ds(embedding_neardup_pairs_ds(ds, threshold=0.4)),
+        id_col="vec_id",
     ).to_pandas()
     assert sorted(kept["vec_id"]) == want_kept
 
@@ -567,3 +575,76 @@ def test_decontaminate(ray_session):
         marked.index[~marked["contaminated"]].tolist()
     )
     assert "contamination" not in kept.columns
+
+
+def test_simhash_skew_guard_counts_oversized(ray_session):
+    """Identical docs all share one simhash → every band bucket holds
+    all of them; with a tiny max_bucket the bucket is skipped and
+    counted IN BAND instead of emitting O(b²) pairs (round-5 review:
+    the SimHash path lacked the guard the LSH/ngram paths have)."""
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import (
+        _simhash_banded_pairs,
+        real_pairs_ds,
+        simhash_neardup_pairs,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": range(10), "text": ["same text here okay then"] * 10}
+        )
+    )
+    raw = _simhash_banded_pairs(docs, max_hamming=3, max_bucket=4).to_pandas()
+    assert int(raw["n_oversized"].sum()) >= 4  # all 4 bands oversized
+    assert len(real_pairs_ds(
+        _simhash_banded_pairs(docs, max_hamming=3, max_bucket=4)
+    ).to_pandas()) == 0
+    # default cap (256) unaffected at this scale: all 45 pairs found
+    pairs = simhash_neardup_pairs(docs, max_hamming=3)
+    assert len(pairs) == 45 and pairs.attrs["n_oversized_buckets"] == 0
+
+
+def test_embedding_bucketed_skew_guard(ray_session):
+    """An oversized hyperplane bucket on the scale route is skipped and
+    counted in band, not fed to an n² matmul."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import (
+        _embedding_neardup_bucketed_ds,
+        embedding_neardup_pairs,
+    )
+
+    # 12 near-identical vectors share one bucket with certainty-ish odds
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=16)
+    mat = np.stack([v + rng.normal(scale=1e-4, size=16) for _ in range(12)])
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": range(12), "embedding": list(mat)})
+    )
+    out = _embedding_neardup_bucketed_ds(ds, threshold=0.9, max_bucket=4).to_pandas()
+    assert int(out["n_oversized"].sum()) >= 1
+    assert len(out[out["n_oversized"] == 0]) == 0  # the only bucket was skipped
+    # the wrapper surfaces the count and returns no false pairs
+    wrapped = embedding_neardup_pairs(ds, threshold=0.9, max_rows_bruteforce=0)
+    assert wrapped.attrs["n_oversized_buckets"] == 0  # default cap not engaged
+    assert len(wrapped) == 66  # all 12*11/2 pairs found under the default cap
+
+
+def test_cc_raises_on_round_budget_exhaustion(ray_session):
+    """A chain longer than max_iters must fail loudly, not return
+    unconverged labels (multiple 'representatives' per cluster)."""
+    import pandas as pd
+
+    import pytest
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.dedup import neardup_clusters_distributed
+
+    chain = pd.DataFrame({"a": range(0, 9), "b": range(1, 10)})  # diameter 9
+    lab = neardup_clusters_distributed(rd.from_pandas(chain)).to_pandas()
+    assert set(lab["cluster_id"]) == {0}  # converges with the default budget
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters_distributed(rd.from_pandas(chain), max_iters=2)

@@ -89,3 +89,69 @@ def test_approx_quantiles_value_bound(ray_session):
     empty = rd.from_pandas(pd.DataFrame({"value": pd.Series([], dtype="float64")}))
     out = approx_quantiles(empty, "value", qs=(0.5,))
     assert len(out) == 1 and np.isnan(out[0])
+
+
+def test_ann_empty_and_multiprobe(ray_session):
+    """Empty-input guards (brute_force_topk on zero rows; IVF training
+    on an empty dataset) and true multi-probe radius in lsh_topk."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import pytest
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.ann import (
+        brute_force_topk,
+        ivf_train_centroids,
+        lsh_bucket_ids,
+        lsh_topk,
+    )
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = brute_force_topk(empty, np.ones(4))
+    assert out.empty and list(out.columns) == ["vec_id", "sim"]
+    with pytest.raises(ValueError, match="empty dataset"):
+        ivf_train_centroids(empty)
+
+    # probe_hamming=2 probes all C(12,1)+C(12,2) neighbors: a vector
+    # whose bucket differs from the query's in exactly 2 planes is found
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(64, 16))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": range(64), "embedding": list(vecs)})
+    )
+    q = vecs[17]
+    with_buckets = lsh_bucket_ids(ds, num_planes=12, seed=42)
+    r1 = lsh_topk(with_buckets, q, k=64, probe_hamming=1)
+    r2 = lsh_topk(with_buckets, q, k=64, probe_hamming=2)
+    assert len(r2) >= len(r1)  # radius 2 is a superset of radius 1
+    assert 17 in set(r2["vec_id"])
+
+
+def test_hll_nulls_match_count_distinct(ray_session):
+    """HLL skips nulls (SQL COUNT(DISTINCT) semantics) and never
+    collides them with a literal 'None' string; empty input → 0."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from xs_vlm_ocr_ray.stages.sketch import approx_distinct, hll_partial
+
+    a = hll_partial([None, "None", "x"])
+    b = hll_partial(["None", "x"])
+    c = hll_partial([None, "x"])
+    assert (a == b).all()
+    assert not (b == c).all()  # 'None' string is its own distinct value
+
+    ds = rd.from_pandas(pd.DataFrame({"v": ["a", None, "b", "a", None]}))
+    assert approx_distinct(ds, "v") == 2
+
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+    assert approx_distinct(empty, "v") == 0

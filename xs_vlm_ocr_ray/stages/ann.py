@@ -59,6 +59,11 @@ def brute_force_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        # zero input rows (e.g. an LSH/IVF probe pruned every bucket
+        # away) collects schema-less — return the typed empty result
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
     partials = partials.sort_values(
         ["sim", id_col], ascending=[False, True], kind="mergesort"
     )
@@ -87,11 +92,15 @@ def ivf_train_centroids(
     (non-metadata-backed) upstream pipeline twice; datasets lacking an
     integer ``id_col`` fall back to exactly that, documented-slower,
     path."""
+    # Ray Data Schema (parallel .names / .types lists); None on a
+    # schema-less empty dataset — fail with a clear message instead of
+    # an AttributeError here or np.stack([]) below
+    s = ds.schema()
+    if s is None:
+        raise ValueError("ivf_train_centroids: cannot train on an empty dataset")
     id_ok = False
-    if id_col is not None:
-        s = ds.schema()  # Ray Data Schema: parallel .names / .types lists
-        if id_col in s.names:
-            id_ok = pa.types.is_integer(s.types[s.names.index(id_col)])
+    if id_col is not None and id_col in s.names:
+        id_ok = pa.types.is_integer(s.types[s.names.index(id_col)])
     if id_ok:
 
         def partial(t: pa.Table) -> pa.Table:
@@ -127,6 +136,8 @@ def ivf_train_centroids(
                 sample = ds.limit(sample_rows).to_pandas()
         else:
             sample = ds.to_pandas()
+    if len(sample) == 0:
+        raise ValueError("ivf_train_centroids: cannot train on an empty dataset")
     x = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -227,10 +238,18 @@ def lsh_topk(
     qb = 0
     for j in range(num_planes):
         qb = (qb << 1) | int(signs[j])
+    # all bucket ids within the requested hamming radius (C(planes, r)
+    # combinations — bounded: 12 planes, radius 2 → 79 probes); the old
+    # code silently treated any radius >= 2 as 1
+    import itertools
+
     probes = {qb}
-    if probe_hamming >= 1:
-        for j in range(num_planes):
-            probes.add(qb ^ (1 << j))
+    for r in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(num_planes), r):
+            flip = 0
+            for j in bits:
+                flip |= 1 << j
+            probes.add(qb ^ flip)
     probe_arr = pa.array(sorted(probes), pa.int32())
 
     def keep(t: pa.Table) -> pa.Table:

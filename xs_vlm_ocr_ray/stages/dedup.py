@@ -188,6 +188,20 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-permutation (a, b) drawn below the Mersenne prime 2^61-1.
+
+    Honesty note on the hash family: the signature kernels compute
+    ``((a*h + b) mod 2^64) mod (2^61-1)`` — the uint64 multiply WRAPS
+    before the Mersenne reduction (h is a full 64-bit blake2b value, so
+    a*h overflows on essentially every product). This matches what
+    vectorized datasketch-style implementations compute in practice,
+    but it is NOT the textbook universal family ``(a*h + b) mod p``,
+    so the collision-probability = Jaccard guarantee is empirical here
+    rather than theorem-backed: the estimator is gated by a property
+    test against brute-force Jaccard (tests/test_neardup.py) instead.
+    An exact-mod implementation needs 128-bit intermediates (split
+    multiply + Mersenne fold) — deliberately not paid; both the
+    per-doc and slab paths wrap identically, so signatures agree."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -405,7 +419,9 @@ def lsh_candidate_pairs(
         band_ds, id_col=id_col, max_bucket=max_bucket, coarse_buckets=coarse_buckets
     ).to_pandas()
     if pairs.empty:
-        return pd.DataFrame({"a": [], "b": []})
+        out = pd.DataFrame({"a": [], "b": []})
+        out.attrs["n_oversized_buckets"] = 0  # the documented attr, always
+        return out
     n_oversized = int(pairs["n_oversized"].sum())
     pairs = (
         pairs[pairs["n_oversized"] == 0][["a", "b"]]
@@ -786,10 +802,18 @@ def simhash_neardup_pairs_ds(
     """Dataset-native ``simhash_neardup_pairs`` (same exact pigeonhole
     plan); distinct pairs via a pair-keyed groupby (a pair can match in
     more than one band) — int64 triples only, never driver-side.
-    Output columns: (a, b, hamming)."""
-    return _simhash_banded_pairs(
-        docs_ds, max_hamming=max_hamming, text_col=text_col, id_col=id_col
-    ).groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    Output columns: (a, b, hamming, n_oversized) — strip the skew
+    counter rows with ``real_pairs_ds(...)``."""
+    return (
+        _simhash_banded_pairs(
+            docs_ds, max_hamming=max_hamming, text_col=text_col, id_col=id_col
+        )
+        .groupby(["a", "b"])
+        .aggregate(
+            Min("hamming", alias_name="hamming"),
+            Sum("n_oversized", alias_name="n_oversized"),
+        )
+    )
 
 
 def ngram_jaccard_pairs_ds(
@@ -1145,11 +1169,19 @@ def _simhash_banded_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 256,
 ) -> rd.Dataset:
     """Shared pigeonhole plan for the SimHash pair generators: banded
     explode → coarse-bucket groupby → exact popcount verify. Emits
-    (a, b, hamming) rows, possibly one per matching band — callers
-    dedup (driver ``drop_duplicates`` or pair-keyed groupby)."""
+    (a, b, hamming, n_oversized) rows, possibly one per matching band —
+    callers dedup (driver ``drop_duplicates`` or pair-keyed groupby).
+
+    ``max_bucket`` is the skew guard the LSH/ngram paths already have:
+    a (band_id, band_val) bucket larger than the cap (e.g. millions of
+    empty/boilerplate-identical docs, all simhash 0 → every band
+    bucket holds all of them → O(bucket²) pairs in ONE reduce task) is
+    skipped and counted IN BAND — counter rows carry a == b == 0 with
+    the count in ``n_oversized``; real pair rows carry 0."""
     bands = max_hamming + 1
     width = 64 // bands
 
@@ -1187,9 +1219,13 @@ def _simhash_banded_pairs(
         # coarse shuffle key + vectorized inner groupby (see
         # lsh_candidate_pairs for rationale)
         out = []
+        n_oversized = 0
         for _, g in df.groupby(["band_id", "band_val"]):
             g = g.drop_duplicates(id_col).sort_values(id_col)
             if len(g) < 2:
+                continue
+            if len(g) > max_bucket:
+                n_oversized += 1
                 continue
             ids = g[id_col].to_numpy()
             hs = g["simhash"].to_numpy().astype(np.uint64)
@@ -1197,9 +1233,13 @@ def _simhash_banded_pairs(
                 x = hs[i] ^ hs[i + 1 :]
                 d = np.array([bin(int(v)).count("1") for v in x])
                 for j in np.nonzero(d <= max_hamming)[0]:
-                    out.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"]).astype(
-            {"a": "int64", "b": "int64", "hamming": "int64"}
+                    out.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j]), 0))
+        if n_oversized:
+            out.append((0, 0, 0, n_oversized))
+        return pd.DataFrame(
+            out, columns=["a", "b", "hamming", "n_oversized"]
+        ).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64", "n_oversized": "int64"}
         )
 
     return (
@@ -1225,13 +1265,25 @@ def simhash_neardup_pairs(
     pairs = _simhash_banded_pairs(
         docs_ds, max_hamming=max_hamming, text_col=text_col, id_col=id_col
     ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        }
+    )
+    empty.attrs["n_oversized_buckets"] = 0
     if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    return (
-        pairs.drop_duplicates(["a", "b"])  # a pair can match in >1 band
+        return empty
+    n_oversized = int(pairs["n_oversized"].sum())
+    out = (
+        pairs[pairs["n_oversized"] == 0][["a", "b", "hamming"]]
+        .drop_duplicates(["a", "b"])  # a pair can match in >1 band
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+    out.attrs["n_oversized_buckets"] = n_oversized
+    return out
 
 
 # --- embedding-cosine near-dup ------------------------------------------
@@ -1246,9 +1298,11 @@ def embedding_neardup_pairs_ds(
 ) -> rd.Dataset:
     """Embedding-cosine near-dup pairs ≥ threshold, as a Dataset — the
     corpus-scale path (``embedding_neardup_pairs`` is the driver-side
-    query wrapper). Output columns: (a, b, sim); feeds
-    ``drop_neardups_ds`` directly, so a near-dup-rich corpus's pair
-    list never funnels through the driver.
+    query wrapper). Output columns: (a, b, sim, n_oversized) — the
+    bucketed route's skew-counter rows ride in band like every other
+    pair family; strip them with ``real_pairs_ds(...)`` before feeding
+    ``drop_neardups_ds``, so a near-dup-rich corpus's pair list never
+    funnels through the driver (the brute route's column is constant 0).
 
     Brute-force route (EXACT, default below ``max_rows_bruteforce``
     rows): the normalized matrix is ``ray.put`` ONCE into the object
@@ -1277,13 +1331,14 @@ def embedding_neardup_pairs_ds(
             emb_ds, threshold=threshold, vec_col=vec_col, id_col=id_col
         )
     if n == 0:
-        # typed empty (a, b, sim) — np.stack on zero rows would raise
+        # typed empty — np.stack on zero rows would raise
         return rd.from_arrow(
             pa.table(
                 {
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
                     "sim": pa.array([], pa.float64()),
+                    "n_oversized": pa.array([], pa.int64()),
                 }
             )
         )
@@ -1313,6 +1368,7 @@ def embedding_neardup_pairs_ds(
                 "a": pa.array(ids_b[ii], pa.int64()),
                 "b": pa.array(ids_all[jj], pa.int64()),
                 "sim": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
+                "n_oversized": pa.array(np.zeros(len(ii), dtype=np.int64)),
             }
         )
 
@@ -1337,8 +1393,17 @@ def embedding_neardup_pairs(
         max_rows_bruteforce=max_rows_bruteforce,
     ).to_pandas()
     if out.empty:
-        return pd.DataFrame({"a": [], "b": [], "sim": []})
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+        empty = pd.DataFrame({"a": [], "b": [], "sim": []})
+        empty.attrs["n_oversized_buckets"] = 0
+        return empty
+    n_oversized = int(out["n_oversized"].sum())
+    out = (
+        out[out["n_oversized"] == 0][["a", "b", "sim"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    out.attrs["n_oversized_buckets"] = n_oversized
+    return out
 
 
 def _embedding_neardup_bucketed_ds(
@@ -1348,13 +1413,22 @@ def _embedding_neardup_bucketed_ds(
     id_col: str = "vec_id",
     num_planes: int = 12,
     coarse_buckets: int = 1024,
+    max_bucket: int = 4096,
 ) -> rd.Dataset:
     """Approximate scale route: hyperplane-LSH bucket assignment, then
     exact pairwise cosine WITHIN each bucket (grouped by a coarse bucket
     prefix; exact buckets resolved with a vectorized inner pandas
     groupby). Never materializes the corpus on the driver; the shuffle
     moves each vector exactly once, and the pair dedup (a pair can
-    surface from more than one bucket) shuffles int64 triples only."""
+    surface from more than one bucket) shuffles int64 triples only.
+
+    ``max_bucket`` is the skew guard (this route only runs above 500k
+    rows, where low-entropy embeddings can concentrate millions of rows
+    into one hyperplane bucket — an unguarded ``m @ m.T`` there is an
+    n² float64 allocation in a single task): oversized buckets are
+    skipped and counted IN BAND (counter rows a == b == 0 with the
+    count in ``n_oversized``; real rows carry 0). 4096² × 8 B = 128 MB
+    transient per bucket, the same slab budget the MinHash path uses."""
     from .ann import lsh_bucket_ids
 
     with_buckets = lsh_bucket_ids(emb_ds, num_planes=num_planes, vec_col=vec_col)
@@ -1364,8 +1438,12 @@ def _embedding_neardup_bucketed_ds(
 
     def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
         out_frames = []
+        n_oversized = 0
         for _, g in df.groupby("bucket"):
             if len(g) < 2:
+                continue
+            if len(g) > max_bucket:
+                n_oversized += 1
                 continue
             ids = g[id_col].to_numpy()
             m = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
@@ -1380,7 +1458,15 @@ def _embedding_neardup_bucketed_ds(
             b = np.maximum(ids[ii], ids[jj])
             out_frames.append(
                 pd.DataFrame(
-                    {"a": a, "b": b, "sim": np.round(sims[ii, jj], 6)}
+                    {"a": a, "b": b, "sim": np.round(sims[ii, jj], 6),
+                     "n_oversized": np.zeros(len(a), dtype="int64")}
+                )
+            )
+        if n_oversized:
+            out_frames.append(
+                pd.DataFrame(
+                    {"a": [0], "b": [0], "sim": [0.0],
+                     "n_oversized": [n_oversized]}
                 )
             )
         if not out_frames:
@@ -1389,10 +1475,12 @@ def _embedding_neardup_bucketed_ds(
                     "a": pd.Series([], dtype="int64"),
                     "b": pd.Series([], dtype="int64"),
                     "sim": pd.Series([], dtype="float64"),
+                    "n_oversized": pd.Series([], dtype="int64"),
                 }
             )
         out = pd.concat(out_frames, ignore_index=True)
-        return out.astype({"a": "int64", "b": "int64", "sim": "float64"})
+        return out.astype({"a": "int64", "b": "int64", "sim": "float64",
+                           "n_oversized": "int64"})
 
     raw = (
         with_buckets.map_batches(add_coarse, batch_format="pyarrow")
@@ -1402,7 +1490,10 @@ def _embedding_neardup_bucketed_ds(
     # distinct (a, b): duplicate emissions carry the SAME rounded sim
     # (cosine of the same two vectors), so any picker works — Min keeps
     # the aggregate mergeable. Only int64/float64 triples shuffle.
-    agg = raw.groupby(["a", "b"]).aggregate(Min("sim", alias_name="sim"))
+    agg = raw.groupby(["a", "b"]).aggregate(
+        Min("sim", alias_name="sim"),
+        Sum("n_oversized", alias_name="n_oversized"),
+    )
     # zero qualifying pairs leaves the aggregate SCHEMA-LESS (Ray 2.49
     # emits no typed empty block); hand downstream consumers
     # (drop_neardups_ds's select_columns, the wrapper's sort) a typed
@@ -1416,6 +1507,7 @@ def _embedding_neardup_bucketed_ds(
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
                     "sim": pa.array([], pa.float64()),
+                    "n_oversized": pa.array([], pa.int64()),
                 }
             )
         )
@@ -1683,6 +1775,7 @@ def neardup_clusters_distributed(
 
     tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
     prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_iters):
         tagged = labels.map_batches(tag_labels, batch_format="pyarrow").union(
             tagged_edges
@@ -1697,8 +1790,21 @@ def neardup_clusters_distributed(
         )
         s = label_sum(labels)
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # returning here would silently emit WRONG clusters: nodes that
+        # are local minima far from the component minimum still carry
+        # their own id, so a later drop pass keeps several
+        # "representatives" of one cluster. Components need ~diameter
+        # rounds — a chain longer than max_iters must fail loudly.
+        raise RuntimeError(
+            f"neardup_clusters_distributed did not converge in {max_iters} "
+            "rounds — a near-dup component's diameter exceeds the round "
+            "budget (e.g. a long chain of successive revisions). Re-run "
+            "with a larger max_iters."
+        )
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})

@@ -39,9 +39,13 @@ def _hash64(values) -> np.ndarray:
 
 
 def hll_partial(values, p: int = 12) -> np.ndarray:
-    """One batch of values → 2^p uint8 registers."""
+    """One batch of values → 2^p uint8 registers. Nulls are skipped —
+    SQL COUNT(DISTINCT) excludes them, and hashing ``str(None)`` would
+    both count nulls as a distinct value and collide with a literal
+    ``'None'`` string."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
+    values = [v for v in values if v is not None]
     if len(values) == 0:
         return regs
     h = _hash64(values)
@@ -87,6 +91,9 @@ def approx_distinct(ds: rd.Dataset, column: str, p: int = 12) -> int:
     rows = ds.select_columns([column]).map_batches(
         partial, batch_format="pyarrow"
     ).to_pandas()
+    if rows.empty:
+        # zero input blocks: the partial never ran (schema-less collect)
+        return 0
     merged = hll_merge([np.asarray(r, dtype=np.uint8) for r in rows["regs"]])
     return int(round(hll_estimate(merged)))
 
