@@ -726,3 +726,36 @@ def test_run_extract_fsync_data_path(ray_session, tiny_pages_dir, tmp_path_facto
     s = run_extract(tiny_pages_dir, out, wave_shards=2, fsync_data=True)
     assert s["rows"] == 200
     assert read_results(out).count() == 200
+
+
+def test_read_pages_empty_respects_columns(ray_session, tmp_path):
+    """An empty input dir returns the REQUESTED typed schema + lineage,
+    not a hardcoded url-only one; lists route through list_shards (dir
+    expansion + sorted shard ids)."""
+    import pyarrow.parquet as pq
+
+    from xs_vlm_ocr_ray.fixtures import pages_table
+    from xs_vlm_ocr_ray.sources.pages import read_pages
+
+    empty_dir = tmp_path / "nopages"
+    empty_dir.mkdir()
+    ds = read_pages(str(empty_dir), columns=["url", "html"])
+    assert ds.schema().names == ["url", "html", "shard_id", "row_idx"]
+    assert ds.count() == 0
+
+    # a LIST whose entries are unsorted gets the same shard ids as the
+    # directory read (sorted order IS the lineage contract)
+    d = tmp_path / "pages"
+    d.mkdir()
+    for s in range(2):
+        pq.write_table(pages_table(range(s * 5, (s + 1) * 5), seed=1),
+                       d / f"shard-{s}.parquet")
+    by_dir = read_pages(str(d), columns=["url"]).to_pandas()
+    by_list = read_pages(
+        [str(d / "shard-1.parquet"), str(d / "shard-0.parquet")], columns=["url"]
+    ).to_pandas()
+    assert by_dir.sort_values(["shard_id", "row_idx"]).equals(
+        by_list.sort_values(["shard_id", "row_idx"]).reset_index(drop=True)
+    ) or (
+        by_dir.reset_index(drop=True).equals(by_list.reset_index(drop=True))
+    )

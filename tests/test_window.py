@@ -195,3 +195,27 @@ def test_window_wrappers_empty_input(ray_session):
     assert out.empty and list(out.columns) == [
         "window", "event_type", "n", "sum_value", "min_value", "max_value",
     ]
+
+
+def test_drop_consecutive_null_values(ray_session):
+    """IS DISTINCT FROM semantics: consecutive nulls collapse to one;
+    null after a value (and value after a null) is kept; a null FIRST
+    row is kept. Matches the SQL oracle's rn=1 OR IS DISTINCT FROM."""
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.stages.window import drop_consecutive
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+                 "2024-01-02 01:00", "2024-01-02 02:00", "2024-01-02 03:00"]
+            ),
+            "event_type": [None, None, "click", "click", None, None],
+        }
+    )
+    got = drop_consecutive(rd.from_pandas(df))
+    # keep: 0 (first, null), 2 (click after null), 4 (null after click);
+    # drop: 1 (null==null), 3 (click==click, across the day boundary), 5
+    assert list(got["event_id"]) == [0, 2, 4]

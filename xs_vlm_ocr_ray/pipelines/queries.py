@@ -23,7 +23,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Sum
+
+from ..stages.ann import round_half_away
 
 # --------------------------------------------------------------------------
 # helpers
@@ -44,10 +46,6 @@ def _join_partitions(cap: int = 8) -> int:
     from ..stages.dedup import _join_partitions as jp
 
     return jp(cap)
-
-
-def _round2(x):
-    return pc.round(x, ndigits=2)
 
 
 # --------------------------------------------------------------------------
@@ -122,10 +120,10 @@ def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         Sum("count", alias_name="count_order"),
     )
     df = agg.to_pandas()
-    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(2)
-    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(2)
+    df["avg_qty"] = round_half_away(df["sum_qty"] / df["count_order"], 2)
+    df["avg_price"] = round_half_away(df["sum_base_price"] / df["count_order"], 2)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        df[c] = df[c].round(2)
+        df[c] = round_half_away(df[c], 2)
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -171,7 +169,7 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.table({"rev": pa.array([rev], pa.float64())})
 
     total = ds.map_batches(partial, batch_format="pyarrow").to_pandas()["rev"].sum()
-    return pd.DataFrame({"revenue": [round(float(total), 2)]})
+    return pd.DataFrame({"revenue": [float(round_half_away(float(total), 2))]})
 
 
 _Q6_SQL = """
@@ -223,7 +221,7 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("rev_part", alias_name="revenue"))
         .to_pandas()
     )
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = round_half_away(df["revenue"], 2)
     return df.sort_values("revenue", ascending=False).reset_index(drop=True)
 
 
@@ -377,7 +375,7 @@ def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
         Sum("n", alias_name="n_customers"),
     )
     df = agg.to_pandas()
-    df["total_acctbal"] = df["total_acctbal"].round(2)
+    df["total_acctbal"] = round_half_away(df["total_acctbal"], 2)
     return df.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
@@ -414,7 +412,7 @@ def q_orders_join(sf_dir: str) -> pd.DataFrame:
         Sum("price_sum", alias_name="total_price"), Sum("n", alias_name="n_orders")
     )
     df = agg.to_pandas()
-    df["total_price"] = df["total_price"].round(2)
+    df["total_price"] = round_half_away(df["total_price"], 2)
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -445,7 +443,7 @@ def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("price_sum", alias_name="total_price"), Sum("n", alias_name="n_parts"))
         .to_pandas()
     )
-    df["total_price"] = df["total_price"].round(2)
+    df["total_price"] = round_half_away(df["total_price"], 2)
     return df.sort_values("p_brand").reset_index(drop=True)
 
 
@@ -475,7 +473,7 @@ def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("bal_sum", alias_name="total_acctbal"), Sum("n", alias_name="n_suppliers"))
         .to_pandas()
     )
-    df["total_acctbal"] = df["total_acctbal"].round(2)
+    df["total_acctbal"] = round_half_away(df["total_acctbal"], 2)
     return df.sort_values("n_name").reset_index(drop=True)
 
 
@@ -757,7 +755,7 @@ def q_orders_join_shuffle(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("price_sum", alias_name="total_price"), Sum("n", alias_name="n_orders"))
         .to_pandas()
     )
-    df["total_price"] = df["total_price"].round(2)
+    df["total_price"] = round_half_away(df["total_price"], 2)
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -875,9 +873,10 @@ def q_events_drop_consecutive(sf_dir: str) -> pd.DataFrame:
 _DROP_CONSEC_SQL = """
 SELECT event_id, ts, event_type FROM (
   SELECT event_id, ts, event_type,
-         LAG(event_type) OVER (ORDER BY ts, event_id) AS prev
+         LAG(event_type) OVER (ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
   FROM events
-) WHERE prev IS NULL OR event_type <> prev
+) WHERE rn = 1 OR event_type IS DISTINCT FROM prev
 ORDER BY ts, event_id
 """
 
@@ -1005,7 +1004,14 @@ FROM documents
 
 
 def q_doc_token_count(sf_dir: str) -> pd.DataFrame:
-    """Token counting (whitespace tokenizer) per document."""
+    """Token counting (whitespace tokenizer) per document.
+
+    Oracle parity: the SQL counts NON-EMPTY regexp-split segments, which
+    equals Python ``str.split()`` for ASCII whitespace (leading/trailing
+    newlines/tabs included — a bare TRIM handles only spaces). Residual
+    known divergence: Python ``split()`` also splits on Unicode
+    whitespace (e.g. U+3000) that RE2's ASCII ``\s`` does not — absent
+    from the fixture corpus and accepted."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
@@ -1017,8 +1023,8 @@ def q_doc_token_count(sf_dir: str) -> pd.DataFrame:
 
 _DOC_TOKEN_SQL = """
 SELECT doc_id,
-       CASE WHEN TRIM(text) = '' THEN 0
-            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens
+       LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> ''))
+         AS n_tokens
 FROM documents
 """
 
@@ -1167,8 +1173,9 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 _NGRAM_JACCARD_SQL = """
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
 ),
 idx AS (
   SELECT doc_id, w, unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i
@@ -1233,6 +1240,24 @@ def q_doc_simhash(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def _derive_doc_url(df: pd.DataFrame) -> "np.ndarray":
+    """THE deterministic doc_id→url rule shared by q_domain_stats and
+    q_cap_per_domain (and mirrored, byte-for-byte, by the CASE block in
+    both queries' oracle SQL — four sites total that must stay in
+    sync; this helper collapses the two Python copies to one)."""
+    did = df["doc_id"]
+    sid = did.astype(str)
+    return np.where(
+        did % 7 == 0,
+        "no-scheme-" + sid,
+        np.where(
+            did % 3 == 0,
+            "http://" + df["source"].str.upper() + ".Example.org:8080/p/" + sid,
+            "https://" + df["source"] + ".example.com/docs/" + sid,
+        ),
+    )
+
+
 def q_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain curation side table (functions/urls.py
     ``domain_stats``): vectorized ``pc.extract_regex`` domain extraction
@@ -1247,18 +1272,7 @@ def q_domain_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def mk_url(df: pd.DataFrame) -> pd.DataFrame:
-        did = df["doc_id"]
-        sid = did.astype(str)
-        url = np.where(
-            did % 7 == 0,
-            "no-scheme-" + sid,
-            np.where(
-                did % 3 == 0,
-                "http://" + df["source"].str.upper() + ".Example.org:8080/p/" + sid,
-                "https://" + df["source"] + ".example.com/docs/" + sid,
-            ),
-        )
-        return pd.DataFrame({"url": url, "text": df["text"]})
+        return pd.DataFrame({"url": _derive_doc_url(df), "text": df["text"]})
 
     out = domain_stats(
         ds.map_batches(mk_url, batch_format="pandas"), url_col="url", text_col="text"
@@ -1297,18 +1311,7 @@ def q_cap_per_domain(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def mk_url(df: pd.DataFrame) -> pd.DataFrame:
-        did = df["doc_id"]
-        sid = did.astype(str)
-        url = np.where(
-            did % 7 == 0,
-            "no-scheme-" + sid,
-            np.where(
-                did % 3 == 0,
-                "http://" + df["source"].str.upper() + ".Example.org:8080/p/" + sid,
-                "https://" + df["source"] + ".example.com/docs/" + sid,
-            ),
-        )
-        return pd.DataFrame({"doc_id": did, "url": url})
+        return pd.DataFrame({"doc_id": df["doc_id"], "url": _derive_doc_url(df)})
 
     capped = cap_per_domain(
         ds.map_batches(mk_url, batch_format="pandas"), 3, order_cols=("doc_id",)
@@ -1366,8 +1369,9 @@ def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
 
 _NEARDUP_CLUSTERS_SQL = """
 WITH RECURSIVE words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
 ),
 idx AS (
   SELECT doc_id, w, unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i

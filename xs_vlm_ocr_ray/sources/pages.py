@@ -145,17 +145,24 @@ def read_pages(
     slice_rows: int = 2048,
 ) -> rd.Dataset:
     """Lineage-preserving read of a pages parquet directory."""
-    paths = (
-        list_shards(sf_dir_or_paths)
-        if isinstance(sf_dir_or_paths, str)
-        else list(sf_dir_or_paths)
-    )
+    # ALWAYS via list_shards — it sorts and expands dir entries, and
+    # sorted order IS the shard_id lineage contract: a caller-ordered
+    # list would give the same row different (shard_id, row_idx) than
+    # the directory read (and run_extract's resume validation) does
+    paths = list_shards(sf_dir_or_paths)
     items = shard_work_items(paths, skip_shards)
     if not items:
-        # empty typed dataset with lineage columns
+        # empty typed dataset: the REQUESTED columns (pages schema
+        # types) + lineage — a hardcoded (url-only) schema here made
+        # empty inputs diverge from every non-empty read's schema
+        types = {
+            "url": pa.string(), "warc_ts": pa.timestamp("us"),
+            "html": pa.binary(), "text": pa.string(), "lang": pa.string(),
+        }
+        cols = columns if columns is not None else list(types)
         empty = pa.table(
             {
-                "url": pa.array([], pa.string()),
+                **{c: pa.array([], types.get(c, pa.string())) for c in cols},
                 "shard_id": pa.array([], pa.int32()),
                 "row_idx": pa.array([], pa.int64()),
             }

@@ -27,6 +27,18 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def round_half_away(x, ndigits: int = 6):
+    """Round HALF AWAY FROM ZERO — SQL ROUND semantics. np.round /
+    pandas round half-to-even, so a similarity/jaccard landing exactly
+    on a representable half (e.g. 41/128 = 0.3203125) rounds to
+    ...312 in the engine but ...313 in DuckDB, failing the oracle value
+    compare at 6 dp. Every rounded value that feeds an oracle-checked
+    column goes through this."""
+    x = np.asarray(x, dtype=np.float64)
+    f = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def brute_force_topk(
     ds: rd.Dataset,
     query: np.ndarray,
@@ -48,7 +60,7 @@ def brute_force_topk(
         # the per-batch cut must use the SAME total order as the final
         # merge and the SQL oracle — (rounded sim desc, id asc) — or a
         # tie at the k-boundary drops the smaller-id row the oracle keeps
-        sims_r = np.round(sims, 6)
+        sims_r = round_half_away(sims, 6)
         order = np.lexsort((ids, -sims_r))
         idx = order[:k]
         return pa.table(

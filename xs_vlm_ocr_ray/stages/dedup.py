@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+from .ann import round_half_away
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.textstats import jaccard, shingles
@@ -466,7 +468,7 @@ def verify_pairs_jaccard(
     for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
         j = jaccard(sets.get(a, empty), sets.get(b, empty))
         if j >= threshold:
-            out.append({"a": int(a), "b": int(b), "jaccard": round(j, 6)})
+            out.append({"a": int(a), "b": int(b), "jaccard": float(round_half_away(j, 6))})
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
 
@@ -699,7 +701,7 @@ def verify_pairs_jaccard_ds(
             if j >= threshold:
                 out_a.append(int(a))
                 out_b.append(int(b))
-                out_j.append(round(j, 6))
+                out_j.append(float(round_half_away(j, 6)))
         return pa.table(
             {
                 "a": pa.array(out_a, pa.int64()),
@@ -895,7 +897,7 @@ def ngram_jaccard_pairs_ds(
         i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
         nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
-        j = np.round(i / (na + nb - i), 6)
+        j = round_half_away(i / (na + nb - i), 6)
         keep = j >= threshold
         n = int(keep.sum())
         return pa.table(
@@ -1058,9 +1060,10 @@ def ngram_jaccard_pairs(
         .to_pandas()
         .set_index(id_col)["n"]
     )
-    inter["jaccard"] = (
-        inter["i"] / (sizes.loc[inter["a"]].to_numpy() + sizes.loc[inter["b"]].to_numpy() - inter["i"])
-    ).round(6)
+    inter["jaccard"] = round_half_away(
+        inter["i"] / (sizes.loc[inter["a"]].to_numpy() + sizes.loc[inter["b"]].to_numpy() - inter["i"]),
+        6,
+    )
     out = inter[inter["jaccard"] >= threshold][["a", "b", "jaccard"]]
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     out.attrs["n_capped_postings"] = n_capped_postings
@@ -1367,7 +1370,7 @@ def embedding_neardup_pairs_ds(
             {
                 "a": pa.array(ids_b[ii], pa.int64()),
                 "b": pa.array(ids_all[jj], pa.int64()),
-                "sim": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
+                "sim": pa.array(round_half_away(sims[ii, jj], 6), pa.float64()),
                 "n_oversized": pa.array(np.zeros(len(ii), dtype=np.int64)),
             }
         )
@@ -1458,7 +1461,7 @@ def _embedding_neardup_bucketed_ds(
             b = np.maximum(ids[ii], ids[jj])
             out_frames.append(
                 pd.DataFrame(
-                    {"a": a, "b": b, "sim": np.round(sims[ii, jj], 6),
+                    {"a": a, "b": b, "sim": round_half_away(sims[ii, jj], 6),
                      "n_oversized": np.zeros(len(a), dtype="int64")}
                 )
             )
@@ -1876,7 +1879,7 @@ def decontaminate(
         n_hit[nz] = cs[ends[nz] - 1] - np.where(starts[nz] > 0, cs[starts[nz] - 1], 0)
         frac = np.where(counts > 0, n_hit / np.maximum(counts, 1), 0.0)
         out = t.append_column(
-            "contamination", pa.array(np.round(frac, 6), pa.float64())
+            "contamination", pa.array(round_half_away(frac, 6), pa.float64())
         ).append_column("contaminated", pa.array(frac >= threshold))
         if mark_only:
             return out

@@ -61,15 +61,25 @@ def tumbling_window_agg_ds(
         t2 = pa.table(
             {"window": day, key_col: t[key_col], value_col: t[value_col]}
         )
+        # count_all (= SQL COUNT(*)) — a (value, "count") partial counts
+        # only NON-NULL values and diverges from the oracle's n whenever
+        # the value column carries nulls; sum/min/max skip nulls on both
+        # sides, matching
         g = t2.group_by(["window", key_col]).aggregate(
             [
-                (value_col, "count"),
+                ([], "count_all"),
                 (value_col, "sum"),
                 (value_col, "min"),
                 (value_col, "max"),
             ]
         )
-        return g.rename_columns(["window", key_col, "n_part", "sum_part", "min_part", "max_part"])
+        cols = {
+            "count_all": "n_part",
+            f"{value_col}_sum": "sum_part",
+            f"{value_col}_min": "min_part",
+            f"{value_col}_max": "max_part",
+        }
+        return g.rename_columns([cols.get(c, c) for c in g.column_names])
 
     def round_sum(t: pa.Table) -> pa.Table:
         i = t.column_names.index("sum_value")
@@ -228,7 +238,12 @@ def drop_consecutive_ds(
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([ts_col, id_col], kind="mergesort")
         prev = df[value_col].shift()
-        keep = df[value_col].ne(prev)
+        # IS DISTINCT FROM semantics (the oracle's): nulls compare EQUAL
+        # to each other — pandas .ne treats NaN != NaN as True, which
+        # would keep every row of a null run
+        keep = df[value_col].ne(prev) & ~(
+            df[value_col].isna() & prev.isna()
+        )
         keep.iloc[0] = True  # provisional: fixed by the boundary stitch
         out = df.loc[keep, [id_col, ts_col, value_col]].copy()
         out["_kind"] = 0
@@ -252,13 +267,19 @@ def drop_consecutive_ds(
 
     drop_ids: list = []
     if not markers.empty:
-        # buckets are disjoint time ranges → marker (ts, id) orders them
-        markers = markers.sort_values([ts_col, id_col], kind="mergesort")
-        prev_last = None
+        # buckets are disjoint time ranges → marker (ts, id) orders them.
+        # A sentinel (not None) marks "no previous bucket": a null last
+        # value is a legitimate value and compares EQUAL to a null first
+        # value (IS DISTINCT FROM semantics, matching per_bucket)
+        _unset = object()
+        prev_last = _unset
         for fid, fval, lval in zip(
             markers[id_col], markers[value_col], markers["_last_value"]
         ):
-            if prev_last is not None and fval == prev_last:
+            if prev_last is not _unset and (
+                fval == prev_last
+                or (pd.isna(fval) and pd.isna(prev_last))
+            ):
                 drop_ids.append(fid)
             prev_last = lval
 
