@@ -116,3 +116,28 @@ def test_build_request_layout():
     assert body == {"file": base64.b64encode(b"\x89PNG...").decode("ascii"), "fileType": 1}
     assert not body["file"].startswith("data:")
     assert layout_auth_header("k123") == {"Authorization": "token k123"}
+
+
+def test_parsers_coerce_non_string_text_parts():
+    """Errors are IN BAND: a present-but-null or numeric text part in a
+    malformed response must not raise out of a parser (it would fail
+    the whole map_batches task for one bad row)."""
+    from xs_vlm_ocr_ray.engines.dialects import (
+        parse_response_doubao,
+        parse_response_gemini,
+        parse_response_openai_chat,
+    )
+
+    ok, err, text = parse_response_gemini(
+        {"candidates": [{"content": {"parts": [{"text": 42}, {"text": None}]}}]}
+    )
+    assert ok and text == "42\n"
+    ok, err, text = parse_response_openai_chat(
+        {"choices": [{"message": {"content": [{"type": "text", "text": None}]}}]}
+    )
+    assert ok and text == ""
+    ok, err, text = parse_response_doubao(
+        {"output": {"choices": [{"message": {"content": [
+            {"type": "output_text", "text": 7}]}}]}}
+    )
+    assert ok and text == "7"

@@ -190,3 +190,24 @@ def test_stub_vlm_in_ray_actor_pool(ray_session, tiny_pages_dir):
     # every success is byte-equal to the local extractor's text (the
     # box-normalizer chain is exact)
     assert (ok["error_kind"] == "").all()
+
+
+def test_config_watcher_survives_wrong_typed_reload(tmp_path):
+    """A hot reload of valid JSON with wrong-TYPED fields (raw TypeError
+    out of load_config, not EngineConfigError) keeps the last good
+    config instead of killing the job."""
+    import json
+    import os
+
+    from xs_vlm_ocr_ray.engines.config import ConfigWatcher
+
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps({"settings": {"max_history": 7}}))
+    w = ConfigWatcher(str(p))  # constructor polls once
+    good = w.config
+    assert good is not None
+    p.write_text(json.dumps({"settings": {"max_history": None}}))
+    os.utime(p, (1e9, 1e9))  # force a new stamp
+    assert w.poll() is False
+    assert w.config is good
+    assert "TypeError" in w.last_error

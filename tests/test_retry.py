@@ -76,3 +76,30 @@ def test_retry_in_ray_pipeline(ray_session, tiny_pages_dir):
     # giant docs (>5 KB simulated ms) timed out on attempt 1, healed on 2
     assert (df["attempts"] == 2).any()
     assert df["success"].all()
+
+
+def test_retry_null_retryable_and_lazy_escalation():
+    """A null in the retryable column means 'not retryable', not a
+    TypeError; the escalated engine is built lazily (heavy engines must
+    not pay max_attempts× their footprint when nothing retries)."""
+    import pyarrow as pa
+
+    from xs_vlm_ocr_ray.engines.retry import RetryingEngine
+
+    class NullableEngine:
+        def __init__(self, **kw):
+            pass
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "retryable": pa.array([None] * n, pa.bool_()),
+                }
+            )
+
+    eng = RetryingEngine(NullableEngine, max_attempts=3)
+    out = eng(pa.table({"url": pa.array(["a", "b"])}))
+    assert out["attempts"].to_pylist() == [1, 1]
+    assert eng._escalated is None  # nothing retried → never constructed

@@ -155,3 +155,40 @@ def test_copy_result_text_nan():
 
     df = pd.DataFrame({"url": ["u"], "extracted_text": [np.nan]})
     assert copy_result_text(df) == ""
+
+
+def test_pdf_declares_winansi_encoding():
+    """Latin-1 text bytes need /WinAnsiEncoding — without it viewers
+    use StandardEncoding and render every accented char as the wrong
+    glyph."""
+    from xs_vlm_ocr_ray.sinks.export import pdf_bytes
+
+    b = pdf_bytes("café")
+    assert b"/Encoding /WinAnsiEncoding" in b
+    assert b"(caf\xe9) Tj" in b  # é encoded, not degraded to '?'
+
+
+def test_jsonl_keeps_annotation_columns(ray_session, tmp_path):
+    """JSONL export writes ALL non-binary columns (the CSV whitelist
+    must not silently drop curation annotations)."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from xs_vlm_ocr_ray.sinks.export import write_results_jsonl
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"url": ["u1"], "extracted_text": ["t"], "lang_pred": ["en"],
+             "quality": [0.9], "n_tokens": [1]}
+        )
+    )
+    out = tmp_path / "jsonl"
+    write_results_jsonl(ds, str(out))
+    rows = []
+    for f in out.iterdir():
+        rows += [json.loads(line) for line in f.read_text().splitlines()]
+    assert rows and set(rows[0]) == {
+        "url", "extracted_text", "lang_pred", "quality", "n_tokens"
+    }

@@ -227,8 +227,13 @@ class ConfigWatcher:
             return False
         try:
             cfg = load_config(self.path)
-        except EngineConfigError as exc:
-            self.last_error = str(exc)
+        except Exception as exc:  # noqa: BLE001 — reload must NEVER kill
+            # the running job: load_config raises EngineConfigError for
+            # unreadable/invalid-JSON files but raw TypeError/KeyError/
+            # AttributeError for wrong-TYPED valid-JSON fields (e.g.
+            # {"settings": {"max_history": null}}); either way the
+            # contract is "keep the last good config"
+            self.last_error = f"{type(exc).__name__}: {exc}"
             self._stamp = stamp  # don't re-parse the same broken bytes
             return False
         self.config = cfg

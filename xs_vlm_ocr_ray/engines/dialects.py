@@ -143,6 +143,17 @@ def layout_auth_header(api_key: str) -> dict:
 # --- M10-M14: response parsers (in-band errors) --------------------------
 
 
+def _text_of(p: dict, key: str = "text") -> str:
+    """In-band coercion of a message part's text field: a present-but-
+    null or non-string value (one malformed response row) must never
+    raise out of a parser and fail the whole batch — the module
+    contract is errors IN BAND."""
+    v = p.get(key)
+    if isinstance(v, str):
+        return v
+    return "" if v is None else str(v)
+
+
 def parse_response_openai_chat(doc: dict) -> tuple[bool, str, str]:
     """choices[0].message.content with per-field validation
     (QwenAdapter.cpp:127-190). Content may be a plain string or a list
@@ -165,7 +176,7 @@ def parse_response_openai_chat(doc: dict) -> tuple[bool, str, str]:
         return True, "", content
     if isinstance(content, list):
         texts = [
-            p.get("text", "")
+            _text_of(p)
             for p in content
             if isinstance(p, dict) and p.get("type") == "text"
         ]
@@ -185,7 +196,7 @@ def parse_response_gemini(doc: dict) -> tuple[bool, str, str]:
     parts = content.get("parts") if isinstance(content, dict) else None
     if not isinstance(parts, list):
         return False, "parse: missing parts", ""
-    texts = [p["text"] for p in parts if isinstance(p, dict) and "text" in p]
+    texts = [_text_of(p) for p in parts if isinstance(p, dict) and "text" in p]
     if not texts:
         return False, "parse: no text parts", ""
     return True, "", "\n".join(texts)
@@ -207,7 +218,7 @@ def parse_response_doubao(doc: dict) -> tuple[bool, str, str]:
             content = message.get("content") if isinstance(message, dict) else None
             if isinstance(content, list):
                 texts = [
-                    p.get("text", "")
+                    _text_of(p)
                     for p in content
                     if isinstance(p, dict) and p.get("type") in ("output_text", "text")
                 ]

@@ -33,22 +33,40 @@ class RetryingEngine:
         max_attempts: int = 2,
     ):
         engine_kwargs = dict(engine_kwargs or {})
-        self.engines = [engine_cls(**engine_kwargs)]
-        esc = {**engine_kwargs, **(retry_overrides or {})}
-        for _ in range(1, max_attempts):
-            self.engines.append(engine_cls(**esc))
+        self.engine = engine_cls(**engine_kwargs)
+        self._esc_cls = engine_cls
+        self._esc_kwargs = {**engine_kwargs, **(retry_overrides or {})}
+        self._escalated = None  # built on FIRST retry, reused after:
+        # every escalation round uses the same config, and an eager
+        # max_attempts-1 instances would multiply a heavy engine's
+        # footprint (model weights, connection pools) per actor even
+        # when no row ever retries
+        self.max_attempts = max_attempts
+
+    def _esc_engine(self):
+        if self._escalated is None:
+            self._escalated = self._esc_cls(**self._esc_kwargs)
+        return self._escalated
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self.engines[0](batch)
+        import pyarrow.compute as pc
+
+        out = self.engine(batch)
         attempts = np.ones(out.num_rows, dtype=np.int32)
-        for eng in self.engines[1:]:
+        for _ in range(1, self.max_attempts):
             if "retryable" not in out.column_names:
                 break
-            mask = out["retryable"].to_numpy(zero_copy_only=False)
+            # a null retryable (a row the engine never attempted /
+            # nullable-bool schema) means "not retryable", not a crash:
+            # the raw object-dtype numpy of a null-carrying bool column
+            # holds None, and ~mask raises on it
+            mask = pc.fill_null(out["retryable"], False).to_numpy(
+                zero_copy_only=False
+            )
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 break
-            fixed = eng(batch.take(idx))
+            fixed = self._esc_engine()(batch.take(idx))
             attempts[idx] += 1
             # patch via concat + positional take — no Python round-trip
             # of the unretried rows (they carry the large text payloads)

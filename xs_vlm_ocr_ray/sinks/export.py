@@ -49,13 +49,38 @@ def write_results_csv(ds: rd.Dataset, out_dir: str) -> None:
     """K4 at corpus scale: distributed CSV with Arrow RFC-4180 escaping.
     List/binary columns are dropped (CSV is a flat format)."""
     cols = [c for c in _CSV_COLS if c in ds.schema().names]
+    if not cols:
+        raise ValueError(
+            "write_results_csv: none of the flat result columns "
+            f"{_CSV_COLS} are present in {ds.schema().names}"
+        )
     ds.select_columns(cols).write_csv(out_dir)
 
 
 def write_results_jsonl(ds: rd.Dataset, out_dir: str) -> None:
     """Distributed JSONL export (one object per row) — the standard
-    interchange format for curated text corpora."""
-    cols = [c for c in _CSV_COLS if c in ds.schema().names]
+    interchange format for curated text corpora. ALL non-binary columns
+    are written (JSON is not a flat format; the CSV whitelist exists
+    only because CSV can't carry list/binary columns — silently
+    applying it here dropped annotation columns like lang_pred/quality
+    from curated exports)."""
+    import pyarrow as _pa
+
+    sch = ds.schema()
+    # Ray's Schema.types may carry plain Python types for pandas-backed
+    # blocks — only genuine Arrow binary types are excluded
+    cols = [
+        n for n, t in zip(sch.names, sch.types)
+        if not (
+            isinstance(t, _pa.DataType)
+            and (_pa.types.is_binary(t) or _pa.types.is_large_binary(t))
+        )
+    ]
+    if not cols:
+        raise ValueError(
+            "write_results_jsonl: no JSON-representable columns in "
+            f"{sch.names} (binary payloads are excluded)"
+        )
     ds.select_columns(cols).write_json(out_dir)
 
 
@@ -143,7 +168,14 @@ def pdf_bytes(text: str) -> bytes:
     kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages)
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # /WinAnsiEncoding: the text bytes are Latin-1 — without an explicit
+    # encoding, viewers fall back to the font's built-in StandardEncoding
+    # where every accented Latin-1 byte maps to a DIFFERENT glyph
+    # (0xE9 is not é), silently corrupting non-ASCII exports
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
     for i, page_lines in enumerate(pages):
         content = bytearray()
         content += b"BT /F1 %d Tf 1 0 0 1 54 770 Tm %d TL\n" % (
