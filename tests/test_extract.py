@@ -155,3 +155,29 @@ class TestBinaryViews:
         buf_addr = arr.buffers()[-1].address
         view_addr = ctypes.addressof(ctypes.c_char.from_buffer(v))
         assert buf_addr <= view_addr < buf_addr + arr.buffers()[-1].size
+
+
+def test_unclosed_anchor_does_not_poison_rest_of_doc():
+    """Block elements implicitly close <a> (HTML5): one malformed
+    unclosed anchor must not count every later block as link text and
+    silently drop the whole rest of the document."""
+    from xs_vlm_ocr_ray.extract import extract_html
+
+    body = "word " * 100
+    r = extract_html(f"<p><a href=x>menu</p><p>{body}</p>".encode())
+    assert r.success and len(r.span_texts) == 1
+    assert r.span_texts[0].startswith("word word")
+
+
+def test_entities_unescape_exactly_once():
+    """'&amp;lt;' renders as the literal '&lt;' — the fast-path output
+    must not be fed to html.unescape a second time ('<')."""
+    from xs_vlm_ocr_ray.extract import extract_html
+
+    pad = "filler words here to keep the block " * 3
+    r = extract_html(f"<p>{pad}a &amp;lt; b &amp;#65; c</p>".encode())
+    assert r.success
+    assert "a &lt; b &#65; c" in r.span_texts[0]
+    # uncommon entities still decode (single pass on the original)
+    r2 = extract_html(f"<p>{pad}price &euro;5 &amp; up</p>".encode())
+    assert "price €5 & up" in r2.span_texts[0]

@@ -182,3 +182,47 @@ def test_media_table_deterministic():
     a = media_table(30)
     b = media_table(30)
     assert a.equals(b)
+
+
+def test_corrupt_media_stays_in_band(ray_session):
+    """sr=0 audio, zero-area images, truncated videos: decode oddities
+    record in-band errors (or skip the payload) — never an uncaught
+    ZeroDivisionError/ValueError killing the batch, never NaN features
+    marked success=True."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from xs_vlm_ocr_ray.stages.multimodal import (
+        AudioFeatureExtractor,
+        ImageFeatureExtractor,
+        VideoFrameSampler,
+        encode_fake_video,
+    )
+
+    bad_audio = b"XAUD" + struct.pack("<IIq", 0, 4, 1) + bytes(8)
+    out = AudioFeatureExtractor()(
+        pa.table({"media_id": [1], "payload": pa.array([bad_audio], pa.binary())})
+    )
+    assert out["success"].to_pylist() == [False]
+    assert "zero sample rate" in out["error"][0].as_py()
+
+    zero_img = b"XIMG" + struct.pack("<IIIq", 0, 5, 3, 1)
+    out = ImageFeatureExtractor()(
+        pa.table({"media_id": [1], "payload": pa.array([zero_img], pa.binary())})
+    )
+    assert out["success"].to_pylist() == [False]
+    assert not any(np.isnan(x) for x in (out["chan_mean"][0].as_py() or [0.0]))
+
+    good = encode_fake_video(16, 12, 25, seed=3)
+    truncated = good[: len(good) // 2]
+    tables = list(
+        VideoFrameSampler(every_k=10)(
+            pa.table(
+                {"media_id": pa.array([7, 8], pa.int64()),
+                 "payload": pa.array([truncated, b"JUNK"], pa.binary())}
+            )
+        )
+    )
+    assert tables[0].schema.field("media_id").type == pa.int64()  # typed, even all-bad

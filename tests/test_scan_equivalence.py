@@ -65,6 +65,10 @@ def _scan_reference(doc: str) -> list[str]:
             continue
         if name in _BLOCK_TAGS:
             flush()
+            # contract change (round 5): block elements implicitly
+            # close <a>, so an unclosed anchor can't poison the rest
+            # of the document as link text
+            a_depth = 0
             if name in _BOILER_TAGS:
                 if closing:
                     if boiler_depth > 0:

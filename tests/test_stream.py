@@ -44,3 +44,19 @@ def test_stream_matches_batch_path():
     out = s.process(_batch(pages)).to_pandas().set_index("url")
     for p in pages:
         assert out.loc[p["url"], "extracted_text"] == extract_html(p["html"]).full_text
+
+
+def test_all_duplicate_micro_batch(ray_session):
+    """A micro-batch whose every row is deduped away must yield an
+    empty result, not an ArrowNotImplementedError from take([])."""
+    import pyarrow as pa
+
+    from xs_vlm_ocr_ray.sources.stream import MicroBatchSession
+
+    s = MicroBatchSession()
+    page = b"<p>hello hello hello hello hello hello hello hello</p>"
+    first = s.process(pa.table({"url": ["u1"], "html": pa.array([page], pa.binary())}))
+    assert first.num_rows == 1
+    again = s.process(pa.table({"url": ["u2"], "html": pa.array([page], pa.binary())}))
+    assert again.num_rows == 0
+    assert s.n_dropped == 1

@@ -56,10 +56,13 @@ _COMMON_ENT_RE = re.compile("|".join(_COMMON_ENT))
 def _unescape(text: str) -> str:
     if "&" not in text:
         return text
-    text = _COMMON_ENT_RE.sub(lambda m: _COMMON_ENT[m.group(0)], text)
-    if "&" in text and ("&#" in text or ";" in text):
-        text = _htmlmod.unescape(text)
-    return text
+    fast = _COMMON_ENT_RE.sub(lambda m: _COMMON_ENT[m.group(0)], text)
+    if "&" in fast and ("&#" in fast or ";" in fast):
+        # fall back on the ORIGINAL text: unescaping the fast-path
+        # OUTPUT decodes twice — '&amp;lt;' (renders as '&lt;') became
+        # '&lt;' then '<', corrupting any page discussing HTML
+        return _htmlmod.unescape(text)
+    return fast
 
 
 def _norm(text: str) -> str:
@@ -194,6 +197,11 @@ def _scan(doc: str) -> list[str]:
         if name in _BLOCK_TAGS:
             if buf:
                 flush()
+            # block elements implicitly close <a> (HTML5 tree builder):
+            # without this an UNCLOSED anchor leaks a_depth forever and
+            # every later block counts as pure link text — one malformed
+            # '<a>' silently discarded the whole rest of the document
+            a_depth = 0
             if name in _BOILER_TAGS:
                 if closing:
                     if boiler_depth > 0:

@@ -22,9 +22,14 @@ PAGES_SCHEMA = pa.schema(
     ]
 )
 
+# text is large_string and the spans column large_list for the same
+# reason extracted_text is large_string: a span-heavy batch's total
+# flat text can exceed the 2 GiB int32-offset capacity of the 32-bit
+# types, and an ArrowCapacityError would fail the whole batch the
+# in-band error model protects
 SPAN_TYPE = pa.struct(
     [
-        ("text", pa.string()),
+        ("text", pa.large_string()),
         ("x0", pa.float32()),
         ("y0", pa.float32()),
         ("x1", pa.float32()),
@@ -37,7 +42,7 @@ RESULTS_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("extracted_text", pa.large_string()),
-        ("spans", pa.list_(SPAN_TYPE)),
+        ("spans", pa.large_list(SPAN_TYPE)),
         ("success", pa.bool_()),
         ("error", pa.string()),
         ("engine", pa.string()),

@@ -54,6 +54,9 @@ class MicroBatchSession:
                 keep.append(i)
             last = h if h else None
         self._last_hash = last
-        kept = batch.take(keep)
+        # typed indices: take([]) infers a NULL index type and pyarrow
+        # has no (string, null) take kernel — an all-duplicates
+        # micro-batch (the steady-state clipboard scenario) crashed here
+        kept = batch.take(pa.array(keep, pa.int64()))
         kept = classify_payload_kind(kept)
         return self.extractor(kept)

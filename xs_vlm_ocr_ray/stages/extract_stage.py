@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..extract import extract_html, split_html
+from ..extract import ExtractResult, extract_html, split_html
 from ..functions.hashing import content_hash_batch
 from ..schema import HTML_ENGINE_CONFIDENCE, SPAN_TYPE
 
@@ -68,10 +68,8 @@ def spans_column(all_span_texts: list[list[str]], confidence: float = HTML_ENGIN
     """Vectorized spans list-of-struct column builder — flat arrays +
     offsets instead of per-row Python dicts (the dict path measurably
     dominated batch time on span-heavy documents)."""
-    import numpy as np
-
     counts = np.fromiter((len(s) for s in all_span_texts), dtype=np.int64, count=len(all_span_texts))
-    offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     flat_texts: list[str] = []
     for s in all_span_texts:
@@ -90,7 +88,7 @@ def spans_column(all_span_texts: list[list[str]], confidence: float = HTML_ENGIN
             pos += c
     struct = pa.StructArray.from_arrays(
         [
-            pa.array(flat_texts, pa.string()),
+            pa.array(flat_texts, pa.large_string()),
             pa.array(np.zeros(total, dtype=np.float32)),
             pa.array(y0),
             pa.array(np.ones(total, dtype=np.float32)),
@@ -99,7 +97,7 @@ def spans_column(all_span_texts: list[list[str]], confidence: float = HTML_ENGIN
         ],
         fields=list(SPAN_TYPE),
     )
-    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), struct)
 
 
 class HtmlExtractor:
@@ -182,6 +180,7 @@ class HtmlExtractor:
 
 
 def _assemble(span_texts: list[str]) -> str:
-    from ..functions.textnorm import merge_full_text, qt_trim
-
-    return qt_trim(merge_full_text(span_texts))
+    # the byte-exact assembly contract lives in ONE place:
+    # ExtractResult.full_text (extract.py) — this thin alias exists so
+    # the stage can assemble from split-segment span lists too
+    return ExtractResult(True, "", span_texts).full_text

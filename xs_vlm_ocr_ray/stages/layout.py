@@ -123,7 +123,7 @@ class LayoutExtractor:
             "extracted_text": pa.array(texts, pa.large_string()),
         }
         if self.emit_spans:
-            cols["spans"] = pa.array(spans_col, pa.list_(SPAN_TYPE))
+            cols["spans"] = pa.array(spans_col, pa.large_list(SPAN_TYPE))
         cols["success"] = pa.array(success, pa.bool_())
         cols["error"] = pa.array(error, pa.string())
         cols["engine"] = pa.array([self.ENGINE_ID] * n, pa.string())

@@ -175,6 +175,11 @@ class ImageFeatureExtractor:
                 continue
             if img.ndim == 2:  # grayscale real decode → one channel
                 img = img[:, :, None]
+            if img.shape[0] == 0 or img.shape[1] == 0:
+                # a zero-area image decodes "successfully" but has no
+                # pixels — mean/std would be NaN silently marked valid
+                error[i] = "decode_error: zero-area image"
+                continue
             if self.resize_to is not None:
                 img = resize_nearest(img, *self.resize_to)
             success[i] = True
@@ -216,6 +221,11 @@ class AudioFeatureExtractor:
             except ValueError as exc:
                 error[i] = f"decode_error: {exc}"
                 continue
+            if sr <= 0 or len(samples) == 0:
+                # corrupt header: sr=0 divides by zero below; an empty
+                # frame yields NaN features silently marked valid
+                error[i] = "decode_error: zero sample rate or no samples"
+                continue
             success[i] = True
             srs[i] = sr
             secs[i] = round(len(samples) / sr, 6)
@@ -252,16 +262,22 @@ class VideoFrameSampler:
                 continue
             try:
                 nf = video_frame_count(p)
+                for f in range(0, nf, self.every_k):
+                    # a truncated body passes the header-only frame
+                    # count but fails the per-frame decode — skip the
+                    # payload in band, never the whole batch
+                    frame = decode_fake_video_frame(p, f)
+                    ids_out.append(mid)
+                    frame_idx.append(f)
+                    mean_lum.append(round(float(frame.mean()), 6))
             except ValueError:
                 continue
-            for f in range(0, nf, self.every_k):
-                frame = decode_fake_video_frame(p, f)
-                ids_out.append(mid)
-                frame_idx.append(f)
-                mean_lum.append(round(float(frame.mean()), 6))
         yield pa.table(
             {
-                "media_id": pa.array(ids_out),
+                # typed by the INPUT column: an all-bad batch would
+                # otherwise emit a null-typed media_id block that fails
+                # schema unification against other batches downstream
+                "media_id": pa.array(ids_out, batch["media_id"].type),
                 "frame_idx": pa.array(frame_idx, pa.int32()),
                 "mean_lum": pa.array(mean_lum, pa.float64()),
             }
