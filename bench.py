@@ -144,6 +144,11 @@ def run_bench() -> dict:
         q_times["training_pipeline"] = w[b]
         stage_walls = t_sum.get("stage_walls_s", {})
 
+    # drop the last sample's results store: a bench + --scaling session
+    # otherwise strands one ~1 GB store per CPU level on /tmp, and the
+    # accumulated pressure perturbs the very timings being recorded
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     result = {
         "metric": "flagship extraction wall-clock (read→extract→write→manifest)",
         "value": round(headline, 3),

@@ -55,6 +55,12 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise be silently skipped and the
+        # gate would pass vacuously with exit code 0
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(

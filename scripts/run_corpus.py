@@ -99,6 +99,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--blocklist", args.blocklist),
             ("--decontam-dir", args.decontam_dir),
             ("--quality-stats", args.quality_stats or None),
+            ("--near-dedup", args.near_dedup or None),
+            ("--max-per-domain", args.max_per_domain),
         ):
             if val is not None:
                 ap.error(f"{flag} requires --pipeline training")
@@ -163,8 +165,9 @@ def main(argv: list[str] | None = None) -> int:
         from xs_vlm_ocr_ray.engines.registry import build_engine_stage
         from xs_vlm_ocr_ray.pipelines.extract import run_extract
 
+        watcher = None
         if args.config:
-            watcher = ConfigWatcher(args.config)  # T8: re-poll between runs
+            watcher = ConfigWatcher(args.config)
             cfg = watcher.config
             if cfg is None:
                 print(f"cannot read config {args.config}: {watcher.last_error}",
@@ -172,17 +175,56 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
         else:
             cfg = default_config()
+        if args.model is not None and not any(
+            m.id == args.model and m.enabled for m in cfg.models
+        ):
+            # the LIBRARY's pick_model keeps the reference's
+            # fallback-to-first-enabled (MainWindow.cpp:960-975), but an
+            # EXPLICIT CLI request that matches nothing is a typo: the
+            # fallback would silently run a different engine (and key the
+            # dedup cache under its id) — misreporting what ran
+            enabled = [m.id for m in cfg.models if m.enabled]
+            print(f"--model {args.model!r} is not an enabled model in the "
+                  f"config (enabled: {enabled})", file=sys.stderr)
+            return 2
         cls, kwargs = build_engine_stage(cfg, args.model, prompt=args.prompt)
-        summary = run_extract(
-            args.input,
-            args.out,
-            engine_cls=cls,
-            engine_kwargs=kwargs,
-            concurrency=args.concurrency,
-            batch_size=cfg.settings.batch_size if args.concurrency else None,
-            resume=not args.no_resume,
-            wave_shards=args.wave_shards,
-        )
+
+        def one_run(resume: bool, max_waves=None) -> dict:
+            return run_extract(
+                args.input,
+                args.out,
+                engine_cls=cls,
+                engine_kwargs=kwargs,
+                concurrency=args.concurrency,
+                batch_size=cfg.settings.batch_size if args.concurrency else None,
+                resume=resume,
+                wave_shards=args.wave_shards,
+                max_waves=max_waves,
+            )
+
+        if watcher is not None and args.wave_shards:
+            # T8 for real: run wave-at-a-time, re-polling the config
+            # file between waves and rebuilding the engine stage when it
+            # changed — the reload point the ConfigWatcher docstring
+            # prescribes ("call it before building each wave's actor
+            # pools"). Without this loop the watcher was constructed and
+            # never polled again, so the advertised hot reload was inert.
+            total_waves = 0
+            resume = not args.no_resume
+            while True:
+                summary = one_run(resume, max_waves=1)
+                resume = True  # later iterations continue THIS run
+                total_waves += summary["waves"]
+                if summary["waves"] == 0:
+                    break
+                if watcher.poll():
+                    cfg = watcher.config
+                    cls, kwargs = build_engine_stage(
+                        cfg, args.model, prompt=args.prompt
+                    )
+            summary["waves"] = total_waves
+        else:
+            summary = one_run(not args.no_resume)
 
     if args.compact:
         from xs_vlm_ocr_ray.pipelines.extract import compact_results

@@ -104,3 +104,31 @@ def test_run_corpus_compact(tiny_pages_dir, tmp_path):
     c = summary["compaction"]
     assert c["compacted_shards"] >= 4
     assert 0 < c["files_after"] <= c["files_before"]
+
+
+def test_run_corpus_rejects_misused_flags_and_bad_model(tiny_pages_dir, tmp_path):
+    """Training-only flags error under --pipeline extract (a silently
+    ignored cap/near-dedup ships an uncurated corpus), and an
+    explicitly requested unknown model is an error, not a silent
+    fallback to a different engine."""
+    import json
+    import subprocess
+    import sys
+
+    for extra in (["--near-dedup"], ["--max-per-domain", "5"]):
+        p = subprocess.run(
+            [sys.executable, "scripts/run_corpus.py",
+             "--input", tiny_pages_dir, "--out", str(tmp_path / "o1"), *extra],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert p.returncode != 0 and "--pipeline training" in p.stderr
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({}))
+    p = subprocess.run(
+        [sys.executable, "scripts/run_corpus.py",
+         "--input", tiny_pages_dir, "--out", str(tmp_path / "o2"),
+         "--config", str(cfg), "--model", "stub-vln"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert p.returncode == 2 and "not an enabled model" in p.stderr

@@ -103,3 +103,17 @@ def test_retry_null_retryable_and_lazy_escalation():
     out = eng(pa.table({"url": pa.array(["a", "b"])}))
     assert out["attempts"].to_pylist() == [1, 1]
     assert eng._escalated is None  # nothing retried → never constructed
+
+
+def test_http_codes_reach_retryable_column():
+    """http_429/http_5xx are retryable through the in-band column;
+    http_4xx and parse errors are not (the documented throttle policy
+    was unreachable when KIND_HTTP collapsed to never-retry)."""
+    from xs_vlm_ocr_ray.engines.errors import is_retryable_error
+
+    assert is_retryable_error("http_429: throttled")
+    assert is_retryable_error("http_503: unavailable")
+    assert not is_retryable_error("http_404: not found")
+    assert not is_retryable_error("http_bogus")
+    assert is_retryable_error("timeout: slow")
+    assert not is_retryable_error("parse: bad json")

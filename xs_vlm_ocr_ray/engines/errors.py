@@ -53,3 +53,19 @@ def is_retryable(error_kind: str) -> bool:
 
 def is_retryable_http(status: int) -> bool:
     return status == 429 or 500 <= status < 600
+
+
+def is_retryable_error(error: str) -> bool:
+    """Raw-error form of the policy — what the in-band ``retryable``
+    column should carry. Applies the HTTP throttle/server-code rule
+    (http_429 / http_5xx retry; http_4xx don't): the status code is
+    embedded in the error string by the prefix convention, and without
+    parsing it here KIND_HTTP collapsed to never-retry, making the
+    documented throttle policy unreachable through the column."""
+    kind = classify_error(error)
+    if kind == KIND_HTTP:
+        import re
+
+        m = re.match(r"http_(\d{3})", error)
+        return m is not None and is_retryable_http(int(m.group(1)))
+    return is_retryable(kind)

@@ -34,7 +34,7 @@ from ..extract import extract_html
 from ..functions.hashing import content_hash_batch
 from ..functions.textnorm import normalize_boxed, qt_trim
 from .config import default_prompt
-from .errors import classify_error, is_retryable
+from .errors import classify_error, is_retryable_error
 
 
 class StubVlmExtractor:
@@ -111,7 +111,7 @@ class StubVlmExtractor:
             success[i] = ok
             error[i] = err
             kinds[i] = classify_error(err)
-            retry[i] = is_retryable(kinds[i])
+            retry[i] = is_retryable_error(err)
             texts[i] = text
             # processing time = simulated model latency + real local work
             ms[i] = sim_ms + (t_wall() - t0) // 1_000_000

@@ -30,6 +30,7 @@ Ray-native design (scale notes, 100 TB design point):
 
 from __future__ import annotations
 
+import os
 import time
 
 import pandas as pd
@@ -101,9 +102,17 @@ def _cache_rows(cache_results_dir: str) -> rd.Dataset:
     """Prior-run results → zero-cost pseudo-rows joining the shuffle.
     Only successful rows are cache-eligible (the reference caches
     ``WHERE success=1``, HistoryManager.cpp:482)."""
-    cache = rd.read_parquet(
-        cache_results_dir, columns=["content_hash", "extracted_text", "success", "error"]
-    )
+    cols = ["content_hash", "extracted_text", "success", "error"]
+    if os.path.isdir(os.path.join(cache_results_dir, "manifest")):
+        # a real run_extract store: read via the manifest — the store
+        # root holds non-parquet manifest JSONs a raw read_parquet
+        # would choke on, and a crashed-then-resumed store holds
+        # superseded wave files only the manifest knows to exclude
+        from .extract import read_results
+
+        cache = read_results(cache_results_dir, columns=cols)
+    else:
+        cache = rd.read_parquet(cache_results_dir, columns=cols)
 
     def fn(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -135,7 +144,12 @@ def _extract_group(df: pd.DataFrame) -> pd.DataFrame:
     Extraction happens at most once; cache rows short-circuit it."""
     rows = df[df["kind"] == "row"]
     if rows.empty:  # pure-cache group (hash absent from this run's input)
-        return pd.DataFrame(columns=_RESULT_COLS)
+        # TYPED empty: pd.DataFrame(columns=...) makes every column
+        # object dtype, which Arrow converts to null-typed blocks that
+        # fail schema unification against real groups' typed blocks
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in _RESULT_DTYPES.items()}
+        )
     cache = df[df["kind"] == "cache"]
     # deterministic keeper: min (shard_id, row_idx) among real rows
     rows = rows.sort_values(["shard_id", "row_idx"], kind="mergesort")
@@ -174,19 +188,22 @@ def _extract_group(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-_RESULT_COLS = [
-    "url",
-    "extracted_text",
-    "success",
-    "error",
-    "engine",
-    "processing_ms",
-    "content_hash",
-    "shard_id",
-    "row_idx",
-    "dedup_hit",
-    "from_cache",
-]
+# one name->pandas-dtype map: both the column order contract and the
+# typed-empty schema for pure-cache groups derive from it
+_RESULT_DTYPES = {
+    "url": "object",
+    "extracted_text": "object",
+    "success": "bool",
+    "error": "object",
+    "engine": "object",
+    "processing_ms": "int64",
+    "content_hash": "object",
+    "shard_id": "int32",
+    "row_idx": "int64",
+    "dedup_hit": "bool",
+    "from_cache": "bool",
+}
+_RESULT_COLS = list(_RESULT_DTYPES)
 
 
 def build_dedup_extract_ds(
